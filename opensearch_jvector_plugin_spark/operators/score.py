@@ -1,0 +1,92 @@
+"""DataFrame-native BM25 scoring — the declarative path.
+
+This is the engine's brute-force-exact scoring surface, the analog of the
+reference's script-score / exact-scan fallback (KNNScoreScript scoring every
+filtered doc via doc values, plugin/script/KNNScoringSpace.java:75-83, and
+the VectorIdsKNNIterator exact scan). It is also the correctness oracle the
+WAND index path must rank-match.
+
+Everything is built-in DataFrame ops — Catalyst gets the whole plan:
+- query terms and per-term stats are broadcast (small dims),
+- the postings groupBy is map-side combined,
+- top-k per query is a window over (query_id), never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import bm25_idf, bm25_tf_norm
+from ..functions.tokenizer import tokenize_col
+from ..plans.stats import CorpusStats, corpus_stats, postings_df
+
+
+def query_terms_df(queries: DataFrame) -> DataFrame:
+    """(query_id, term, qtf) — duplicate query terms become qtf weight
+    (Lucene BooleanQuery per-occurrence summation)."""
+    return (
+        queries.select(
+            "query_id", F.explode(tokenize_col("query_text")).alias("term")
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("double").alias("qtf"))
+    )
+
+
+def score_all(
+    corpus: DataFrame,
+    queries: DataFrame,
+    stats: CorpusStats | None = None,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
+) -> DataFrame:
+    """Exact BM25 score for every (query, matching doc): (query_id, doc_id,
+    score). Pre-computed postings/df/stats can be passed to reuse a built
+    index's state (they are the same tables the index persists)."""
+    if postings is None:
+        postings = postings_df(corpus)
+    if stats is None:
+        stats = corpus_stats(corpus)
+    if term_df is None:
+        term_df = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    qterms = query_terms_df(queries)
+    # Small side: (query_id, term, qtf) ⨝ (term, df) -> per-(query,term) idf.
+    weighted = (
+        qterms.join(term_df, "term")
+        .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
+        .select("query_id", "term", (F.col("qtf") * F.col("idf")).alias("w"))
+    )
+    # Big side joins the broadcast query-term table: Catalyst prunes every
+    # posting whose term no query mentions before anything else happens.
+    scored = postings.join(F.broadcast(weighted), "term").select(
+        "query_id",
+        "doc_id",
+        (F.col("w") * bm25_tf_norm(F.col("tf"), F.col("dl"), stats.avgdl)).alias(
+            "contrib"
+        ),
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+
+
+def topk(scores: DataFrame, queries: DataFrame) -> DataFrame:
+    """Global top-k reduce: (query_id, rank, doc_id, score), rank 1-based,
+    ties broken by ascending doc_id (the explicit tie-break the reference's
+    score-desc sort needs for rank-identity, ResultUtil.java:107)."""
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scores.withColumn("rank", F.row_number().over(w).cast("int"))
+    ks = queries.select("query_id", F.col("k").cast("long").alias("_k"))
+    return (
+        ranked.join(F.broadcast(ks), "query_id")
+        .where(F.col("rank") <= F.col("_k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_topk_bruteforce(corpus: DataFrame, queries: DataFrame, **kw) -> DataFrame:
+    """score_all + topk in one call — the flagship declarative query."""
+    return topk(score_all(corpus, queries, **kw), queries)
