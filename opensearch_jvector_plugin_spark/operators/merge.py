@@ -1,0 +1,156 @@
+"""Segment merge: N doc-range segments -> fewer (default 1) doc-range
+segments, Lucene-codec-style.
+
+Counterpart of the reference's forced merge (ForceMergesOnlyMergePolicy
+merges ALL segments in one forced merge, ForceMergesOnlyMergePolicy.java:41-61;
+JVectorWriter.mergeOneField re-streams every input segment's values in
+baseDocId order, JVectorWriter.java:132-175). For posting lists the merge is
+cheaper than the reference's graph rebuild: segments cover disjoint,
+ascending docID ranges, so a term's merged posting list is the concatenation
+of its per-segment lists in segment order — pure decode + concat + re-encode,
+O(N) per term, no rebase needed because our docIDs are global from build
+time (the docID-rebasing discipline is paid once, at docID assignment).
+
+Shuffle shape: one shuffle keyed by (merged_seg, term-hash) — each merged
+segment is assembled by one task; fan_in controls memory per task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .build import committed_segments
+from .codec import PostingList, decode_postings, encode_postings
+from .query import IndexHandle
+
+MERGE_SUMMARY_SCHEMA = (
+    "seg_id INT, n_terms LONG, n_postings LONG, crc LONG, merge_ms LONG"
+)
+
+
+def merge_segments(
+    spark: SparkSession,
+    index: IndexHandle,
+    fan_in: int | None = None,
+) -> dict:
+    """Merge the segment index into ceil(n_segments / fan_in) merged
+    segments (fan_in=None -> one segment, the forceMerge(1) analog)."""
+    manifests = committed_segments(index.index_dir)
+    seg_ids = sorted(manifests)
+    if not seg_ids:
+        raise ValueError("no committed segments to merge")
+    if fan_in is None:
+        fan_in = len(seg_ids)
+    group_of = {s: i // fan_in for i, s in enumerate(seg_ids)}
+    merged_dir = index.merged_path
+    os.makedirs(merged_dir, exist_ok=True)
+
+    mapping = spark.createDataFrame(
+        [(int(s), int(g)) for s, g in group_of.items()],
+        "seg_id INT, merged_seg INT",
+    )
+    postings = spark.read.parquet(index.segments_path).join(
+        F.broadcast(mapping), "seg_id"
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.monotonic()
+        merged_seg = int(pdf["merged_seg"].iloc[0])
+        pdf = pdf.sort_values(["term", "seg_id"], kind="stable")
+        out = {
+            "term": [], "df": [], "ctf": [], "max_tf": [], "tf_offset": [],
+            "dl_offset": [], "checksum": [], "blob": [], "block_last_doc": [],
+            "block_max_tf": [], "block_min_dl": [],
+        }
+        seg_crc = 0
+        n_postings = 0
+        for term, grp in pdf.groupby("term", sort=True):
+            docs, tfs, dls = [], [], []
+            for r in grp.itertuples(index=False):
+                dec = decode_postings(
+                    r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
+                    int(r.checksum),
+                )
+                docs.append(dec.doc_ids)
+                tfs.append(dec.tfs)
+                dls.append(dec.dls)
+            enc = encode_postings(
+                term,
+                PostingList(
+                    np.concatenate(docs), np.concatenate(tfs), np.concatenate(dls)
+                ),
+            )
+            out["term"].append(term)
+            out["df"].append(enc.df)
+            out["ctf"].append(enc.ctf)
+            out["max_tf"].append(enc.max_tf)
+            out["tf_offset"].append(enc.tf_offset)
+            out["dl_offset"].append(enc.dl_offset)
+            out["checksum"].append(enc.checksum)
+            out["blob"].append(enc.blob)
+            out["block_last_doc"].append(enc.block_last_doc.tolist())
+            out["block_max_tf"].append(enc.block_max_tf.tolist())
+            out["block_min_dl"].append(enc.block_min_dl.tolist())
+            seg_crc = zlib.crc32(enc.blob, seg_crc) & 0xFFFFFFFF
+            n_postings += enc.df
+
+        out_dir = os.path.join(merged_dir, f"seg_id={merged_seg}")
+        os.makedirs(out_dir, exist_ok=True)
+        table = pa.Table.from_pydict(
+            {
+                "term": pa.array(out["term"], pa.string()),
+                "df": pa.array(out["df"], pa.int32()),
+                "ctf": pa.array(out["ctf"], pa.int64()),
+                "max_tf": pa.array(out["max_tf"], pa.int32()),
+                "tf_offset": pa.array(out["tf_offset"], pa.int32()),
+                "dl_offset": pa.array(out["dl_offset"], pa.int32()),
+                "checksum": pa.array(out["checksum"], pa.int64()),
+                "blob": pa.array(out["blob"], pa.binary()),
+                "block_last_doc": pa.array(out["block_last_doc"], pa.list_(pa.int64())),
+                "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int32())),
+                "block_min_dl": pa.array(out["block_min_dl"], pa.list_(pa.int32())),
+            }
+        )
+        tmp = os.path.join(out_dir, "_postings.parquet.tmp")
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(out_dir, "postings.parquet"))
+        ms = int((time.monotonic() - t0) * 1000)
+        return pd.DataFrame(
+            [{"seg_id": merged_seg, "n_terms": len(out["term"]),
+              "n_postings": n_postings, "crc": seg_crc, "merge_ms": ms}]
+        )
+
+    summaries = (
+        postings.groupBy("merged_seg")
+        .applyInPandas(merge_group, MERGE_SUMMARY_SCHEMA)
+        .collect()
+    )
+    manifest = {
+        "fan_in": fan_in,
+        "input_segments": seg_ids,
+        "merged_segments": [
+            {
+                "seg_id": int(r["seg_id"]),
+                "n_terms": int(r["n_terms"]),
+                "n_postings": int(r["n_postings"]),
+                "crc": int(r["crc"]),
+                "merge_ms": int(r["merge_ms"]),
+            }
+            for r in sorted(summaries, key=lambda r: r["seg_id"])
+        ],
+    }
+    tmp = os.path.join(index.index_dir, "merged_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(index.index_dir, "merged_manifest.json"))
+    return manifest

@@ -1,0 +1,201 @@
+"""Index query path: batched BM25 top-k over a built segment index.
+
+Spark trace of the reference's search lifecycle (SURVEY.md §3.1): queries ->
+broadcast corpus stats -> term-pruned postings scan -> per-segment kernel
+(MaxScore with bounded heap) -> global top-k reduce.
+
+Scale properties:
+- The postings scan is filtered by `term isin (query terms)` — a Parquet
+  predicate pushdown, so a 100 TB index reads only the row groups containing
+  query terms (plus dictionary pages). Same for the global dict lookup.
+- Query weights/stats travel to executors as one small broadcast (the
+  QuantizationStateCache analog).
+- Per-segment top-k uses k' = k: exact for the global reduce (per-partition
+  heaps -> union -> window rank), the ResultUtil.reduceToTopK shape.
+- Pre-filter semantics: an optional set of allowed docIDs is applied inside
+  the kernel (acceptDocs, JVectorReader.java:128), never after the heap —
+  so a filtered query still returns k results when k matches exist.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import bm25_idf_py
+from ..functions.tokenizer import tokenize_text
+from .codec import decode_postings
+from .wand import maxscore_topk, term_upper_bound
+
+RESULT_SCHEMA = "query_id INT, doc_id LONG, score DOUBLE"
+
+
+@dataclass
+class IndexHandle:
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    n_segments: int
+
+    @property
+    def segments_path(self) -> str:
+        return os.path.join(self.index_dir, "segments")
+
+    @property
+    def merged_path(self) -> str:
+        return os.path.join(self.index_dir, "merged")
+
+    @property
+    def dict_path(self) -> str:
+        return os.path.join(self.index_dir, "dict")
+
+    def has_merged(self) -> bool:
+        return os.path.exists(
+            os.path.join(self.index_dir, "merged_manifest.json")
+        )
+
+
+def load_index(index_dir: str) -> IndexHandle:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    return IndexHandle(
+        index_dir=index_dir,
+        n_docs=int(stats["n_docs"]),
+        avgdl=float(stats["avgdl"]),
+        n_segments=int(stats["n_segments"]),
+    )
+
+
+def _query_weights(
+    spark: SparkSession, index: IndexHandle, queries: pd.DataFrame
+) -> tuple[dict[int, dict[str, float]], dict[int, int], list[str]]:
+    """Driver-side query compile: tokenize, global-df lookup (term-pruned
+    dict scan), idf -> per-query term weights. Queries are small by contract
+    (k <= K_MAX, few thousand queries) so this is cheap."""
+    qtfs: dict[int, Counter] = {
+        int(q.query_id): Counter(tokenize_text(q.query_text))
+        for q in queries.itertuples(index=False)
+    }
+    ks = {int(q.query_id): int(q.k) for q in queries.itertuples(index=False)}
+    all_terms = sorted({t for c in qtfs.values() for t in c})
+    if not all_terms:
+        return {qid: {} for qid in qtfs}, ks, []
+
+    df_rows = (
+        spark.read.parquet(index.dict_path)
+        .where(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    )
+    global_df = {r["term"]: int(r["df"]) for r in df_rows}
+    weights = {
+        qid: {
+            t: float(c) * bm25_idf_py(global_df[t], index.n_docs)
+            for t, c in qtf.items()
+            if t in global_df
+        }
+        for qid, qtf in qtfs.items()
+    }
+    present_terms = sorted({t for w in weights.values() for t in w})
+    return weights, ks, present_terms
+
+
+def search(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: pd.DataFrame | DataFrame,
+    allowed_docs: np.ndarray | None = None,
+    use_merged: bool | None = None,
+) -> DataFrame:
+    """Batched top-k: returns (query_id, rank, doc_id, score).
+
+    `allowed_docs`: optional sorted int64 array of permitted docIDs applied
+    to every query (pre-filter). Shipped as a Spark broadcast.
+    """
+    if isinstance(queries, DataFrame):
+        queries = queries.toPandas()
+    weights, ks, terms = _query_weights(spark, index, queries)
+    empty = spark.createDataFrame([], "query_id INT, rank INT, doc_id LONG, score DOUBLE")
+    if not terms:
+        return empty
+
+    if use_merged is None:
+        use_merged = index.has_merged()
+    base = index.merged_path if use_merged else index.segments_path
+    postings = spark.read.parquet(base).where(F.col("term").isin(terms))
+    group_col = "seg_id"
+
+    avgdl = index.avgdl
+    bc_weights = spark.sparkContext.broadcast(weights)
+    bc_allowed = spark.sparkContext.broadcast(
+        np.sort(np.asarray(allowed_docs, dtype=np.int64))
+        if allowed_docs is not None
+        else None
+    )
+    bc_ks = spark.sparkContext.broadcast(ks)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        w_all = bc_weights.value
+        allowed = bc_allowed.value
+        ks_map = bc_ks.value
+        # Decode each term once (terms are shared across queries).
+        decoded: dict[str, tuple] = {}
+        meta: dict[str, tuple] = {}
+        for r in pdf.itertuples(index=False):
+            dec = decode_postings(
+                r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
+                int(r.checksum),
+            )
+            decoded[r.term] = (dec.doc_ids, dec.tfs, dec.dls)
+            meta[r.term] = (
+                np.asarray(r.block_max_tf, dtype=np.int64),
+                np.asarray(r.block_min_dl, dtype=np.int64),
+            )
+        out_q, out_d, out_s = [], [], []
+        for qid, wmap in w_all.items():
+            tp = {t: decoded[t] for t in wmap if t in decoded}
+            if not tp:
+                continue
+            tw = {t: wmap[t] for t in tp}
+            ubs = {
+                t: term_upper_bound(tw[t], meta[t][0], meta[t][1], avgdl)
+                for t in tp
+            }
+            docs, scores = maxscore_topk(
+                tp, tw, ubs, ks_map[qid], avgdl, allowed=allowed
+            )
+            out_q.append(np.full(len(docs), qid, dtype=np.int32))
+            out_d.append(docs)
+            out_s.append(scores)
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int32),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    per_segment = postings.groupBy(group_col).applyInPandas(kernel, RESULT_SCHEMA)
+
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ks_df = spark.createDataFrame(
+        [(int(q), int(k)) for q, k in ks.items()], "query_id INT, _k LONG"
+    )
+    return (
+        per_segment.withColumn("rank", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(ks_df), "query_id")
+        .where(F.col("rank") <= F.col("_k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

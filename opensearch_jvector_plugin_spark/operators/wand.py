@@ -1,0 +1,149 @@
+"""Block-max MaxScore top-k kernel — exact BM25 ranking with upper-bound
+pruning, fully vectorized.
+
+The two-phase idea of the reference (cheap upper-bound pass prunes, exact
+scores rank — PQ approximate scorer + exact reranker,
+JVectorReader.java:115-127; min-competitive-score early termination,
+ResultUtil.reduceToTopK ResultUtil.java:32-57) re-expressed for posting
+lists in NumPy instead of per-document cursor loops (which would be per-row
+Python — banned):
+
+  1. Per term upper bound: UB_t = w_t * max over skip blocks of
+     tf_norm(block_max_tf, block_min_dl) — valid because tf_norm is
+     increasing in tf and decreasing in dl. (The skip blocks earn their
+     keep here: a per-block bound is much tighter than a whole-list bound.)
+  2. Threshold seed θ0: the k-th largest single-term contribution of the
+     highest-UB term is a LOWER bound on the true k-th best full score
+     (every full score >= its own single-term contribution).
+  3. MaxScore split: sort terms by UB ascending; the maximal prefix whose
+     UB sum < θ0 is non-essential — no doc appearing ONLY in those lists
+     can reach the top k. Candidates = union of essential lists' docIDs.
+  4. Exact scores for candidates only: essential contributions are already
+     materialized; non-essential (typically the hot, expensive lists)
+     contribute via sorted-array lookup (searchsorted) at candidate docIDs
+     only — never a full scan of the hot list.
+  5. argpartition + lexsort top-k, ties broken by ascending docID.
+
+Result is EXACT (rank-identical to brute force); pruning only affects work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.bm25 import BM25_B, BM25_K1
+
+
+def _tf_norm_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return (tf * (BM25_K1 + 1.0)) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl)
+    )
+
+
+def term_upper_bound(
+    weight: float,
+    block_max_tf: np.ndarray,
+    block_min_dl: np.ndarray,
+    avgdl: float,
+) -> float:
+    """UB over all postings of a term from its skip-block metadata."""
+    ub = _tf_norm_np(
+        np.asarray(block_max_tf, dtype=np.float64),
+        np.asarray(block_min_dl, dtype=np.float64),
+        avgdl,
+    )
+    return float(weight * ub.max())
+
+
+def maxscore_topk(
+    term_postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    term_weights: dict[str, float],
+    term_ubs: dict[str, float],
+    k: int,
+    avgdl: float,
+    allowed: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k for one query over one segment.
+
+    term_postings: term -> (doc_ids sorted asc, tfs, dls)
+    term_weights:  term -> qtf * idf   (query-global, float64)
+    term_ubs:      term -> upper bound on w * tf_norm (from skip blocks)
+    allowed:       optional sorted array of permitted docIDs (pre-filter
+                   semantics, the acceptDocs analog of JVectorReader.java:128)
+
+    Returns (doc_ids, scores) ranked by (-score, doc_id), length <= k.
+    """
+    terms = [t for t in sorted(term_postings) if term_weights.get(t)]
+    if not terms or k <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    def filtered(t):
+        doc, tf, dl = term_postings[t]
+        if allowed is not None:
+            idx = np.searchsorted(allowed, doc)
+            idx[idx == len(allowed)] = 0
+            mask = allowed[idx] == doc if len(allowed) else np.zeros(len(doc), bool)
+            return doc[mask], tf[mask], dl[mask]
+        return doc, tf, dl
+
+    data = {t: filtered(t) for t in terms}
+    terms = [t for t in terms if len(data[t][0])]
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    # --- θ0 seed from the highest-UB term's own contributions.
+    seed_term = max(terms, key=lambda t: term_ubs[t])
+    sd, st, sl = data[seed_term]
+    seed_contrib = term_weights[seed_term] * _tf_norm_np(st, sl, avgdl)
+    if len(seed_contrib) >= k:
+        theta0 = float(np.partition(seed_contrib, len(seed_contrib) - k)[
+            len(seed_contrib) - k
+        ])
+    else:
+        theta0 = 0.0
+
+    # --- MaxScore split (ascending UB prefix with cumsum < θ0 is prunable).
+    by_ub = sorted(terms, key=lambda t: term_ubs[t])
+    cum = 0.0
+    non_essential: list[str] = []
+    for t in by_ub:
+        if cum + term_ubs[t] < theta0:
+            cum += term_ubs[t]
+            non_essential.append(t)
+        else:
+            break
+    essential = [t for t in terms if t not in non_essential]
+
+    # --- Candidates: union of essential docIDs (sorted, deduped).
+    cand = np.unique(np.concatenate([data[t][0] for t in essential]))
+    scores = np.zeros(len(cand), dtype=np.float64)
+    # Deterministic summation order (sorted term) = oracle's order.
+    for t in sorted(terms):
+        doc, tf, dl = data[t]
+        if t in non_essential:
+            # Sparse lookup: contributions only at candidate positions.
+            pos = np.searchsorted(doc, cand)
+            pos_c = np.minimum(pos, len(doc) - 1)
+            hit = doc[pos_c] == cand
+            if not hit.any():
+                continue
+            contrib = term_weights[t] * _tf_norm_np(tf[pos_c[hit]], dl[pos_c[hit]], avgdl)
+            scores[hit] += contrib
+        else:
+            pos = np.searchsorted(cand, doc)  # every doc of t is in cand
+            contrib = term_weights[t] * _tf_norm_np(tf, dl, avgdl)
+            np.add.at(scores, pos, contrib)
+
+    kk = min(k, len(cand))
+    if kk < len(cand):
+        # Tie-aware cut: keep EVERY doc scoring >= the k-th largest value
+        # (argpartition alone would split ties arbitrarily), then resolve
+        # ties by docID in the final sort.
+        kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
+        part = np.flatnonzero(scores >= kth)
+    else:
+        part = np.arange(len(cand))
+    order = np.lexsort((cand[part], -scores[part]))[:kk]
+    sel = part[order]
+    return cand[sel], scores[sel]
