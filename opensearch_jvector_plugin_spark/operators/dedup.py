@@ -1,0 +1,352 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All portable-by-construction: every hash is derived from md5 hex (identical
+in Spark, DuckDB, and Python), every arithmetic step stays within int64, so
+each operator has an exact ANSI-SQL oracle. Everything is built-in DataFrame
+ops — JVM-side, codegen'd, no Python in the hot path.
+
+Scale shapes:
+- exact:    one groupBy(content_hash) — map-side combined, AQE handles skew.
+- n-gram Jaccard: shingle-inverted-index self-join; exact but O(sum df^2)
+  in the worst case — the scale path is MinHash/LSH below.
+- MinHash+LSH: signatures via one explode + groupBy(min x NUM_HASHES);
+  band buckets via one self-join on (band_idx, band_key) — only docs
+  sharing a band collide, and exact Jaccard verification runs only on the
+  candidate pairs.
+- SimHash: 60-bit weighted fingerprint, 4 x 15-bit band join => guaranteed
+  recall for hamming distance <= 3.
+- embedding near-dup: brute-force pair scan (oracle) — ANN/LSH variants in
+  similarity.py are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_col
+
+HASH_PRIME = 2_147_483_647  # 2^31 - 1: keeps a*h+b inside int64
+NUM_HASHES = 16
+BAND_ROWS = 4  # 16 hashes -> 4 bands of 4
+
+
+def minhash_coeffs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs; a odd, both < 2^20 so a*h < 2^51."""
+    return [
+        (((i * 2654435761) % (1 << 20)) | 1, (i * 40503 + 7) % (1 << 20))
+        for i in range(num_hashes)
+    ]
+
+
+def term_hash_col(c: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5 -> int64,
+    reduced mod 2^31-1 so downstream affine hashes stay in int64."""
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+        % F.lit(HASH_PRIME)
+    )
+
+
+def shingles_col(tokens: Column, n: int) -> Column:
+    """Token n-gram shingles joined with '_' (empty array when < n tokens)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws("_", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ------------------------------------------------------------------ exact ---
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate detection by content hash.
+
+    Returns (doc_id, content_hash, group_size, dup_rank): dup_rank 1 is the
+    canonical survivor (lowest id); rows with dup_rank > 1 are duplicates.
+    """
+    hashed = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash"),
+    )
+    w = W.partitionBy("content_hash")
+    return hashed.select(
+        "doc_id",
+        "content_hash",
+        F.count("*").over(w).cast("long").alias("group_size"),
+        F.row_number()
+        .over(w.orderBy("doc_id"))
+        .cast("int")
+        .alias("dup_rank"),
+    )
+
+
+# ---------------------------------------------------------- n-gram Jaccard ---
+
+
+def doc_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(shingles_col(tokenize_col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over n-gram shingle sets.
+
+    (doc_a < doc_b, inter, size_a, size_b, jaccard) for jaccard >= threshold.
+    """
+    sh = doc_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter").cast("double"))
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b",
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ----------------------------------------------------------- MinHash + LSH ---
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc_id, mh_0 .. mh_{H-1}) — min over shingles of affine hashes of
+    the portable 60-bit shingle hash. Docs with < n tokens get no row."""
+    sh = doc_shingles(df, n, text_col, id_col).withColumn(
+        "h", term_hash_col(F.col("shingle"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_PRIME))
+        .cast("long")
+        .alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """MinHash banding candidates verified with exact Jaccard.
+
+    (doc_a, doc_b, jaccard >= threshold). Deterministic: fixed coefficients,
+    fixed banding — the SQL oracle replicates the full pipeline, so results
+    match exactly even though LSH recall < 1 vs ground truth.
+    """
+    sig = minhash_signatures(df, n, text_col, id_col, num_hashes)
+    n_bands = num_hashes // band_rows
+    bands = []
+    for bidx in range(n_bands):
+        cols = [f"mh_{bidx * band_rows + r}" for r in range(band_rows)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bidx).alias("band_idx"),
+                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionAll(b)
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, n, 0.0, text_col, id_col).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return cand.join(exact, ["doc_a", "doc_b"]).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ----------------------------------------------------------------- SimHash ---
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 4 x 15 bits: recall 1.0 for hamming distance <= 3
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash): 60-bit tf-weighted SimHash from portable term
+    hashes. Bit b is set iff sum over terms of tf * sign(bit b of h) > 0."""
+    tf = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(tokenize_col(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("h", term_hash_col(F.col("term")))
+    )
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.col("tf"),
+                ).otherwise(-F.col("tf"))
+            ).alias(f"s_{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b).cast("long")
+        fp = bit if fp is None else fp + bit
+    return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found via
+    15-bit band collision (exhaustive for max_hamming <= 3)."""
+    fp = simhash(df, text_col, id_col)
+    bands = None
+    for i in range(SIMHASH_BANDS):
+        part = fp.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band_idx"),
+            F.shiftright(F.col("simhash"), i * 15)
+            .bitwiseAND(F.lit((1 << 15) - 1))
+            .alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding cosine near-dup ---
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Exact float64 cosine; summation is left-fold in array order on both
+    Spark and the DuckDB oracle, so values match bit-for-bit."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine near-duplicate pairs (doc_a < doc_b).
+
+    The exact/oracle path; at scale use similarity.ivf_topk buckets or
+    simhash-style hyperplane LSH to restrict the pair space first."""
+    a = emb.select(
+        F.col(id_col).cast("long").alias("doc_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).cast("long").alias("doc_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, mirroring the reference's exact-vs-approximate split
+(brute-force oracle VectorIdsKNNIterator.java:73-111 vs ANN graph search
+JVectorReader.search JVectorReader.java:108-133):
+
+- ``cosine_topk``: brute-force exact top-k — the baseline/oracle. Query
+  vectors are broadcast; the scan is one pass over the embedding table
+  (scales linearly, no shuffle besides the final per-query top-k window).
+- ``ivf_topk``: IVF-style approximate top-k. "Training" is deterministic
+  (centroids = the K lowest vec_ids — the reservoir-sample analog of
+  OneBitScalarQuantizer.train's sampled mean, OneBitScalarQuantizer.java:61-65),
+  assignment is argmin centroid distance, queries probe the nprobe nearest
+  centroid buckets. At scale the bucket assignment is a write-once
+  partitioning of the table; a probe reads nprobe/K of the data.
+
+All expressions are built-in DataFrame ops in float64 with left-fold
+summation — the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .dedup import cosine_col
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, rank, vec_id, cosine).
+    Ties broken by ascending vec_id."""
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).cast("int").alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    )
+    scored = e.join(F.broadcast(q)).withColumn(
+        "cosine", cosine_col(F.col("v"), F.col("qv"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF clustering: centroids = embeddings of the
+    n_centroids lowest ids. Returns (assignments, centroids):
+    assignments = (vec_id, centroid_id), centroids = (centroid_id, cvec)."""
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    centroids = (
+        e.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").cast("int").alias("centroid_id"),
+                F.col("v").alias("cvec"))
+    )
+    scored = e.join(F.broadcast(centroids)).withColumn(
+        "cos_c", cosine_col(F.col("v"), F.col("cvec"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    return assign, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe closest centroid buckets.
+    Deterministic end-to-end -> exactly reproducible by the SQL oracle."""
+    assign, centroids = ivf_assign(emb, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).cast("int").alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    )
+    qc = q.join(F.broadcast(centroids)).withColumn(
+        "cos_qc", cosine_col(F.col("qv"), F.col("cvec"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos_qc"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    ).join(assign, "vec_id")
+    cand = e.join(F.broadcast(probes), "centroid_id")
+    scored = cand.join(F.broadcast(q), "query_id").withColumn(
+        "cosine", cosine_col(F.col("v"), F.col("qv"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
