@@ -1,0 +1,135 @@
+"""Benchmark harness.
+
+Runs the engine's headline workloads on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>,
+     "build_turns_per_sec": ..., "query_qps": ..., ...}
+
+Workloads:
+1. Transcript index build (the north-star metric): synthesize the
+   deterministic transcript corpus (OJS_BENCH_TURNS, default 100k turns),
+   write it to parquet untimed, then time docID assignment + segment index
+   build end-to-end -> turns/sec.
+2. Batched BM25 query scoring over the built index (OJS_BENCH_QUERIES,
+   default 200 queries) -> QPS.
+3. Every driver registry query once at the sf dir (the heavy exact n-gram
+   pair scan is skipped above sf0.01 — MinHash is the scale path and IS
+   benchmarked).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def bench_queries(n_queries: int) -> pd.DataFrame:
+    """Deterministic batched query set over the transcript vocabulary."""
+    rows = []
+    for i in range(n_queries):
+        n_terms = 1 + (i * 7) % 4
+        terms = [f"term{((i * 13 + j * 97) % 5000) + 1:04d}" for j in range(n_terms)]
+        if i % 11 == 0:
+            terms.append("hotcommon")
+        rows.append((i, " ".join(terms), 10))
+    return pd.DataFrame(rows, columns=["query_id", "query_text", "k"])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_turns = int(os.environ.get("OJS_BENCH_TURNS", "100000"))
+    n_queries = int(os.environ.get("OJS_BENCH_QUERIES", "200"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from opensearch_jvector_plugin_spark.entry_queries import QUERIES
+    from opensearch_jvector_plugin_spark.operators.build import build_index
+    from opensearch_jvector_plugin_spark.operators.query import load_index, search
+    from opensearch_jvector_plugin_spark.plans.docids import assign_doc_ids
+    from opensearch_jvector_plugin_spark.session import get_spark
+    from opensearch_jvector_plugin_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    spark = get_spark(
+        cores=cpus,
+        app_name="ojs-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    # Warm the Python worker pool (spin-up excluded from throughput, as
+    # cluster provisioning would be).
+    n_workers = int(cpus) if str(cpus).isdigit() else 32
+    spark.range(0, n_workers * 2, 1, n_workers * 2).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    work_dir = tempfile.mkdtemp(prefix="ojs_bench_")
+    try:
+        # --- 1. transcript corpus (untimed generation, timed build) ---
+        corpus_path = os.path.join(work_dir, "transcripts.parquet")
+        synthesize_transcripts(
+            spark, max(1, n_turns // 10), 10
+        ).write.mode("overwrite").parquet(corpus_path)
+
+        idx_dir = os.path.join(work_dir, "index")
+        t0 = time.monotonic()
+        raw = spark.read.parquet(corpus_path)
+        corpus = assign_doc_ids(raw, ["conv_id", "turn_idx"])
+        build_index(
+            corpus, idx_dir,
+            seg_size=max(2000, n_turns // (2 * int(cpus) if cpus.isdigit() else 32)),
+        )
+        build_s = time.monotonic() - t0
+        timings["index_build"] = round(build_s, 3)
+        extras["build_turns_per_sec"] = round(n_turns / build_s, 1)
+
+        # --- 2. batched query scoring ---
+        index = load_index(idx_dir)
+        qs = bench_queries(n_queries)
+        t0 = time.monotonic()
+        n_rows = search(spark, index, qs).count()
+        query_s = time.monotonic() - t0
+        timings["bm25_query_batch"] = round(query_s, 3)
+        extras["query_qps"] = round(n_queries / query_s, 1)
+        extras["query_result_rows"] = n_rows
+
+        # --- 3. registry queries at the sf dir ---
+        skip = {"dedup_ngram"} if sf > 0.011 else set()
+        for name, fn in QUERIES.items():
+            if name in skip:
+                continue
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "bm25_engine_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpus": cpus,
+            "bench_turns": n_turns,
+            **extras,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

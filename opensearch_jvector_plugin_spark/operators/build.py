@@ -145,7 +145,7 @@ def build_index(
             }
         )
         tmp = os.path.join(out_dir, "_postings.parquet.tmp")
-        pq.write_table(table, tmp, compression="zstd")
+        pq.write_table(table, tmp, compression="snappy")
         os.replace(tmp, os.path.join(out_dir, "postings.parquet"))
         ms = int((time.monotonic() - t0) * 1000)
         return pd.DataFrame(

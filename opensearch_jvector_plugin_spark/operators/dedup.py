@@ -211,12 +211,35 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, n, 0.0, text_col, id_col).select(
-        "doc_a", "doc_b", "jaccard"
+    # Exact-Jaccard verification restricted to the CANDIDATE pairs only —
+    # never the full pair space (that is the whole point of the banding).
+    sh = doc_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_doc_b"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
     )
-    return cand.join(exact, ["doc_a", "doc_b"]).where(
-        F.col("jaccard") >= threshold
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sz").alias("size_a")), "doc_a")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sz").alias("size_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return out
 
 
 # ----------------------------------------------------------------- SimHash ---

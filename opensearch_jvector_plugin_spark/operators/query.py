@@ -160,17 +160,22 @@ def search(
                 np.asarray(r.block_min_dl, dtype=np.int64),
             )
         out_q, out_d, out_s = [], [], []
+        # Query-independent per-term state shared across the whole batch:
+        # tf_norm arrays and idf-free upper bounds computed once per segment.
+        norm_cache: dict[str, np.ndarray] = {}
+        ub_base = {
+            t: term_upper_bound(1.0, meta[t][0], meta[t][1], avgdl)
+            for t in decoded
+        }
         for qid, wmap in w_all.items():
             tp = {t: decoded[t] for t in wmap if t in decoded}
             if not tp:
                 continue
             tw = {t: wmap[t] for t in tp}
-            ubs = {
-                t: term_upper_bound(tw[t], meta[t][0], meta[t][1], avgdl)
-                for t in tp
-            }
+            ubs = {t: tw[t] * ub_base[t] for t in tp}
             docs, scores = maxscore_topk(
-                tp, tw, ubs, ks_map[qid], avgdl, allowed=allowed
+                tp, tw, ubs, ks_map[qid], avgdl, allowed=allowed,
+                tf_norm_cache=norm_cache,
             )
             out_q.append(np.full(len(docs), qid, dtype=np.int32))
             out_d.append(docs)

@@ -20,8 +20,101 @@ import zlib
 import numpy as np
 import pandas as pd
 
-from ..functions.tokenizer import tokenize_series
 from .codec import SKIP_BLOCK
+
+# --- byte-level tokenizer ---------------------------------------------------
+# Semantically identical to functions.tokenizer ([a-z0-9]+ runs over the
+# lowercased text, ASCII classes) but object-free: the whole batch is ONE
+# byte buffer scanned with NumPy table lookups, and token identity is a
+# vectorized polynomial rolling hash — no per-token Python strings. This is
+# what lets 32 concurrent build workers scale on one box instead of
+# saturating the allocator/memory bus with 10^6 string objects per segment
+# (measured 3.3x per-task inflation with the pandas str.findall path).
+# Term STRINGS are materialized only for the unique terms (~vocab size).
+
+_IS_TOKEN = np.zeros(256, dtype=bool)
+_IS_TOKEN[ord("a"):ord("z") + 1] = True
+_IS_TOKEN[ord("0"):ord("9") + 1] = True
+
+_HASH_B = np.uint64(1099511628211)  # FNV64 prime (odd -> invertible mod 2^64)
+# Modular inverse of B mod 2^64 (Newton iteration).
+_inv = _HASH_B
+for _ in range(6):
+    with np.errstate(over="ignore"):
+        _inv = _inv * (np.uint64(2) - _HASH_B * _inv)
+_HASH_BINV = _inv
+
+
+def tokenize_batch_bytes(
+    texts, n_docs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch of documents in one NumPy pass.
+
+    Returns (term_codes, doc_of_tok, dl_per_doc, unique_terms) where
+    term_codes are dense ints ordered so that unique_terms is sorted
+    lexicographically (the codec's term order contract)."""
+    blobs = [(t if isinstance(t, str) else "" if t is None else str(t))
+             .encode("utf-8", "surrogatepass") for t in texts]
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum([len(b) + 1 for b in blobs], out=doc_off[1:])
+    big = b"\x00".join(blobs) + b"\x00"
+    arr = np.frombuffer(big, dtype=np.uint8).copy()
+    # ASCII lowercase.
+    up = (arr >= 65) & (arr <= 90)
+    arr[up] += 32
+
+    tok = _IS_TOKEN[arr]
+    if not tok.any():
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(n_docs, np.int64), np.zeros(0, object))
+    prev = np.empty_like(tok)
+    prev[0] = False
+    prev[1:] = tok[:-1]
+    starts = np.flatnonzero(tok & ~prev)
+    nxt = np.empty_like(tok)
+    nxt[-1] = False
+    nxt[:-1] = tok[1:]
+    ends = np.flatnonzero(tok & ~nxt) + 1
+
+    # Polynomial hash per token, vectorized across TOKENS byte-position by
+    # byte-position (token length is bounded, so this is a handful of
+    # contiguous passes over the token array — no giant prefix tables).
+    lengths = ends - starts
+    max_len = int(lengths.max())
+    with np.errstate(over="ignore"):
+        hashes = np.zeros(starts.size, dtype=np.uint64)
+        for j in range(max_len):
+            active = lengths > j
+            # uint8 gather, widen only the gathered slice (keeps DRAM
+            # traffic at 1 byte/token/pass, not 8).
+            hashes[active] = (
+                hashes[active] * _HASH_B
+                + arr[starts[active] + j].astype(np.uint64)
+            )
+        # Mix in the length so h is prefix-free.
+        hashes = hashes * _HASH_B + lengths.astype(np.uint64)
+
+    doc_of_tok = (np.searchsorted(doc_off, starts, side="right") - 1).astype(
+        np.int32
+    )
+    dl_per_doc = np.bincount(doc_of_tok, minlength=n_docs).astype(np.int64)
+
+    uniq_h, first_idx, codes = np.unique(
+        hashes, return_index=True, return_inverse=True
+    )
+    # Materialize strings for unique terms only (from the LOWERCASED byte
+    # array), then impose lexicographic code order (the on-disk term order
+    # contract shared with merge).
+    terms = np.array(
+        [arr[starts[i]:ends[i]].tobytes().decode("ascii") for i in first_idx],
+        dtype=object,
+    )
+    order = np.argsort(terms, kind="stable")
+    terms_sorted = terms[order]
+    remap = np.empty(len(order), dtype=np.int32)
+    remap[order] = np.arange(len(order), dtype=np.int32)
+    codes = remap[codes]
+    return codes, doc_of_tok, dl_per_doc, terms_sorted
 
 
 def _varint_nbytes(v: np.ndarray) -> np.ndarray:
@@ -70,9 +163,10 @@ def encode_segment(
     doc_ids = doc_ids[order]
     texts = texts.iloc[order].reset_index(drop=True)
 
-    tok_lists = tokenize_series(texts)
-    dl_per_doc = tok_lists.map(len).to_numpy(dtype=np.int64)
     n_docs = len(doc_ids)
+    codes_flat, tok_doc, dl_per_doc, uniques = tokenize_batch_bytes(
+        texts.tolist(), n_docs
+    )
     summary = {
         "n_docs": int(n_docs),
         "sum_dl": int(dl_per_doc.sum()),
@@ -92,14 +186,13 @@ def encode_segment(
         summary.update({"n_terms": 0, "n_postings": 0, "crc": 0})
         return empty, summary
 
-    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
-    tok_doc = np.repeat(np.arange(n_docs), dl_per_doc)
-
-    # factorize terms -> int codes (C-speed), then one lexsort drives
-    # everything: postings come out term-grouped and docID-sorted.
-    codes, uniques = pd.factorize(flat_terms, sort=True)
-    order = np.lexsort((tok_doc, codes))
-    codes = codes[order]
+    # One stable radix sort over a combined (term, doc) int64 key drives
+    # everything: postings come out term-grouped and docID-sorted. A single
+    # key pass halves the memory traffic of a two-pass lexsort — this
+    # kernel's ceiling is DRAM bandwidth, not CPU.
+    key = codes_flat.astype(np.int64) * np.int64(n_docs) + tok_doc
+    order = np.argsort(key, kind="stable")
+    codes = codes_flat[order]
     tok_doc = tok_doc[order]
 
     # Run-length boundaries of (term, doc) pairs -> tf.

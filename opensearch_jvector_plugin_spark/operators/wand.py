@@ -63,6 +63,7 @@ def maxscore_topk(
     k: int,
     avgdl: float,
     allowed: np.ndarray | None = None,
+    tf_norm_cache: dict[str, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k for one query over one segment.
 
@@ -71,6 +72,10 @@ def maxscore_topk(
     term_ubs:      term -> upper bound on w * tf_norm (from skip blocks)
     allowed:       optional sorted array of permitted docIDs (pre-filter
                    semantics, the acceptDocs analog of JVectorReader.java:128)
+    tf_norm_cache: optional term -> tf_norm array cache shared across the
+                   QUERY BATCH (tf_norm is query-independent; in batched
+                   search each term's normalization is computed once per
+                   segment, not once per query)
 
     Returns (doc_ids, scores) ranked by (-score, doc_id), length <= k.
     """
@@ -78,24 +83,55 @@ def maxscore_topk(
     if not terms or k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
-    def filtered(t):
+    def norm_of(t):
+        if tf_norm_cache is not None:
+            arr = tf_norm_cache.get(t)
+            if arr is None:
+                doc, tf, dl = term_postings[t]
+                arr = _tf_norm_np(tf, dl, avgdl)
+                tf_norm_cache[t] = arr
+            return arr
         doc, tf, dl = term_postings[t]
-        if allowed is not None:
-            idx = np.searchsorted(allowed, doc)
-            idx[idx == len(allowed)] = 0
-            mask = allowed[idx] == doc if len(allowed) else np.zeros(len(doc), bool)
-            return doc[mask], tf[mask], dl[mask]
-        return doc, tf, dl
+        return _tf_norm_np(tf, dl, avgdl)
+
+    if allowed is not None:
+        def filtered(t):
+            doc = term_postings[t][0]
+            if len(allowed):
+                idx = np.searchsorted(allowed, doc)
+                idx[idx == len(allowed)] = 0
+                mask = allowed[idx] == doc
+            else:
+                mask = np.zeros(len(doc), bool)
+            return doc[mask], norm_of(t)[mask]
+    else:
+        def filtered(t):
+            return term_postings[t][0], norm_of(t)
 
     data = {t: filtered(t) for t in terms}
     terms = [t for t in terms if len(data[t][0])]
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
+    # --- Single-term fast path: order is the contribution order.
+    if len(terms) == 1:
+        t = terms[0]
+        doc, norm = data[t]
+        scores = term_weights[t] * norm
+        kk = min(k, len(doc))
+        if kk < len(doc):
+            kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
+            part = np.flatnonzero(scores >= kth)
+        else:
+            part = np.arange(len(doc))
+        order = np.lexsort((doc[part], -scores[part]))[:kk]
+        sel = part[order]
+        return doc[sel], scores[sel]
+
     # --- θ0 seed from the highest-UB term's own contributions.
     seed_term = max(terms, key=lambda t: term_ubs[t])
-    sd, st, sl = data[seed_term]
-    seed_contrib = term_weights[seed_term] * _tf_norm_np(st, sl, avgdl)
+    sd, snorm = data[seed_term]
+    seed_contrib = term_weights[seed_term] * snorm
     if len(seed_contrib) >= k:
         theta0 = float(np.partition(seed_contrib, len(seed_contrib) - k)[
             len(seed_contrib) - k
@@ -120,7 +156,7 @@ def maxscore_topk(
     scores = np.zeros(len(cand), dtype=np.float64)
     # Deterministic summation order (sorted term) = oracle's order.
     for t in sorted(terms):
-        doc, tf, dl = data[t]
+        doc, norm = data[t]
         if t in non_essential:
             # Sparse lookup: contributions only at candidate positions.
             pos = np.searchsorted(doc, cand)
@@ -128,12 +164,10 @@ def maxscore_topk(
             hit = doc[pos_c] == cand
             if not hit.any():
                 continue
-            contrib = term_weights[t] * _tf_norm_np(tf[pos_c[hit]], dl[pos_c[hit]], avgdl)
-            scores[hit] += contrib
+            scores[hit] += term_weights[t] * norm[pos_c[hit]]
         else:
             pos = np.searchsorted(cand, doc)  # every doc of t is in cand
-            contrib = term_weights[t] * _tf_norm_np(tf, dl, avgdl)
-            np.add.at(scores, pos, contrib)
+            np.add.at(scores, pos, term_weights[t] * norm)
 
     kk = min(k, len(cand))
     if kk < len(cand):

@@ -1,0 +1,106 @@
+"""Streaming incremental append + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from opensearch_jvector_plugin_spark.operators.build import (
+    build_index,
+    committed_segments,
+)
+from opensearch_jvector_plugin_spark.operators.multimodal import (
+    decode_image,
+    extract_metadata,
+    frame_sample,
+    image_features,
+    synthesize_assets,
+)
+from opensearch_jvector_plugin_spark.operators.query import load_index, search
+from opensearch_jvector_plugin_spark.oracle import build_oracle_index, oracle_topk
+from opensearch_jvector_plugin_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    reference_queries,
+)
+from opensearch_jvector_plugin_spark.streaming.incremental import (
+    append_batch,
+    start_index_stream,
+)
+from tests.test_bruteforce_rank_identity import assert_rank_identical
+
+
+def test_streaming_append_matches_batch_build(spark, small_corpus_pdf, tmp_path):
+    """Two micro-batches arriving in conv order == one batch build:
+    same segments discipline, rank-identical query results."""
+    pdf = small_corpus_pdf
+    seg_size = 250
+
+    stream_idx = str(tmp_path / "stream_idx")
+    b1 = spark.createDataFrame(pdf.iloc[:1000].drop(columns=["doc_id"]))
+    b2 = spark.createDataFrame(pdf.iloc[1000:].drop(columns=["doc_id"]))
+    append_batch(b1, stream_idx, seg_size=seg_size)
+    stats1 = committed_segments(stream_idx)
+    assert len(stats1) == 4
+    append_batch(b2, stream_idx, seg_size=seg_size)
+    assert len(committed_segments(stream_idx)) == 8
+
+    queries = reference_queries(2000)
+    want = oracle_topk(build_oracle_index(pdf), queries)
+    got = search(spark, load_index(stream_idx), queries).toPandas()
+    assert_rank_identical(got, want)
+
+
+def test_streaming_file_source(spark, small_corpus_pdf, tmp_path):
+    """End-to-end Structured Streaming: files appear -> segments appended."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        small_corpus_pdf.iloc[:600].drop(columns=["doc_id"])
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        small_corpus_pdf.iloc[600:1200].drop(columns=["doc_id"])
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    idx_dir = str(tmp_path / "sidx")
+    q = start_index_stream(
+        spark, in_dir, idx_dir, TRANSCRIPT_SCHEMA,
+        checkpoint_dir=str(tmp_path / "ckpt"), seg_size=300,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert os.path.exists(os.path.join(idx_dir, "stats.json"))
+    idx = load_index(idx_dir)
+    assert idx.n_docs == 1200
+    res = search(spark, idx, reference_queries(1200).iloc[:3]).toPandas()
+    assert len(res) > 0
+
+
+def test_multimodal_plumbing(spark):
+    assets = synthesize_assets(spark, 30)
+    meta = extract_metadata(assets).toPandas().sort_values("asset_id")
+    assert len(meta) == 30
+    # Magic sniffing agrees with declared kind on synthetic assets.
+    assert (meta["kind_declared"] == meta["kind_detected"]).all()
+    assert (meta["n_bytes"] > 8).all()
+
+    feats = image_features(assets).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 8 for f in feats["features"])
+    # Deterministic across evaluations.
+    feats2 = image_features(assets).toPandas()
+    a = [list(f) for f in feats.sort_values("asset_id")["features"]]
+    b = [list(f) for f in feats2.sort_values("asset_id")["features"]]
+    assert a == b
+
+    frames = frame_sample(assets, every_ms=10_000).toPandas()
+    assert (frames["offset_ms"] == frames["frame_idx"] * 10_000).all()
+    n_videos = (meta["kind_declared"] == "video").sum()
+    assert frames["asset_id"].nunique() == n_videos
+
+    fake_pixels = decode_image(assets, fake=True).toPandas()
+    assert all(len(p) == 16 for p in fake_pixels["pixels"])
+
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        decode_image(assets, fake=False).collect()
