@@ -87,10 +87,9 @@ def main() -> None:
         t0 = time.monotonic()
         raw = spark.read.parquet(corpus_path)
         corpus = assign_doc_ids(raw, ["conv_id", "turn_idx"])
-        build_index(
-            corpus, idx_dir,
-            seg_size=max(2000, n_turns // (2 * int(cpus) if cpus.isdigit() else 32)),
-        )
+        # Ingest partitioning (range-sorted from docID assignment) is the
+        # segment layout: shuffle-free build.
+        build_index(corpus, idx_dir, align_partitions=True)
         build_s = time.monotonic() - t0
         timings["index_build"] = round(build_s, 3)
         extras["build_turns_per_sec"] = round(n_turns / build_s, 1)

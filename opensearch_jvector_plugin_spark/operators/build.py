@@ -87,9 +87,19 @@ def build_index(
     doc_id_col: str = "doc_id",
     resume: bool = True,
     input_fingerprint: str = "",
+    align_partitions: bool = False,
 ) -> dict:
     """Build (or resume building) the segment index. Returns the final
-    index-level stats dict (also persisted as stats.json)."""
+    index-level stats dict (also persisted as stats.json).
+
+    align_partitions=True is the shuffle-free fast path (the Lucene model:
+    each ingest writer flushes its own segments, no data movement): every
+    INPUT PARTITION becomes one segment (seg_id = partition id), so the
+    build is scan -> encode -> write with zero shuffle. Segment doc ranges
+    may then overlap; query is unaffected (docIDs are global) and merge
+    re-sorts by docID. Resume granularity follows partition ids, which are
+    stable only if the input file layout and read conf are unchanged.
+    """
     spark = corpus.sparkSession
     os.makedirs(os.path.join(index_dir, "manifests"), exist_ok=True)
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
@@ -97,27 +107,35 @@ def build_index(
     done = committed_segments(index_dir) if resume else {}
     skip_ids = sorted(done)
 
-    work = corpus.select(
-        F.col(doc_id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("text"),
-        (F.col(doc_id_col).cast("long") / F.lit(seg_size))
-        .cast("int")
-        .alias("seg_id"),
-    )
-    if skip_ids:
-        work = work.where(~F.col("seg_id").isin(skip_ids))
+    if align_partitions:
+        work = corpus.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+    else:
+        work = corpus.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+            (F.col(doc_id_col).cast("long") / F.lit(seg_size))
+            .cast("int")
+            .alias("seg_id"),
+        )
+        if skip_ids:
+            work = work.where(~F.col("seg_id").isin(skip_ids))
 
-    def build_one(pdf):
+    def _empty_summary():
         import pandas as pd
 
-        if len(pdf) == 0:
-            return pd.DataFrame(
-                columns=["seg_id", "n_docs", "sum_dl", "doc_lo", "doc_hi",
-                         "n_terms", "n_postings", "crc", "build_ms", "path"]
-            )
+        return pd.DataFrame(
+            columns=["seg_id", "n_docs", "sum_dl", "doc_lo", "doc_hi",
+                     "n_terms", "n_postings", "crc", "build_ms", "path"]
+        )
+
+    def write_segment(seg_id, doc_ids, texts):
+        import pandas as pd
+
         t0 = time.monotonic()
-        seg_id = int(pdf["seg_id"].iloc[0])
-        rows, summary = encode_segment(pdf["doc_id"].to_numpy(), pdf["text"])
+        rows, summary = encode_segment(doc_ids, texts)
         out_dir = _seg_dir(index_dir, seg_id)
         os.makedirs(out_dir, exist_ok=True)
         table = pa.Table.from_pydict(
@@ -142,6 +160,7 @@ def build_index(
                     [list(map(int, b)) for b in rows["block_min_dl"]],
                     pa.list_(pa.int32()),
                 ),
+                "codec": pa.array(rows["codec"], pa.int32()),
             }
         )
         tmp = os.path.join(out_dir, "_postings.parquet.tmp")
@@ -165,9 +184,38 @@ def build_index(
             ]
         )
 
-    summaries = (
-        work.groupBy("seg_id").applyInPandas(build_one, SUMMARY_SCHEMA).collect()
-    )
+    if align_partitions:
+        skip_set = set(skip_ids)
+
+        def build_partition(batches):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            if pid in skip_set:
+                yield _empty_summary()
+                return
+            parts = [pdf for pdf in batches if len(pdf)]
+            if not parts:
+                yield _empty_summary()
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            yield write_segment(pid, pdf["doc_id"].to_numpy(), pdf["text"])
+
+        summaries = work.mapInPandas(
+            build_partition, SUMMARY_SCHEMA
+        ).collect()
+    else:
+
+        def build_one(pdf):
+            if len(pdf) == 0:
+                return _empty_summary()
+            seg_id = int(pdf["seg_id"].iloc[0])
+            return write_segment(seg_id, pdf["doc_id"].to_numpy(), pdf["text"])
+
+        summaries = (
+            work.groupBy("seg_id").applyInPandas(build_one, SUMMARY_SCHEMA).collect()
+        )
 
     # Commit markers, one per completed segment (atomic rename).
     for row in summaries:

@@ -116,6 +116,10 @@ class PostingList:
     dls: np.ndarray      # int64 > 0 (exact doc length of each posting's doc)
 
 
+CODEC_VARINT = 1
+CODEC_PACKED = 2  # FOR bit-packed blocks (codec_packed.py)
+
+
 @dataclass
 class EncodedPostings:
     """One row of the segment postings table (the on-disk unit)."""
@@ -131,9 +135,12 @@ class EncodedPostings:
     block_last_doc: np.ndarray  # int64 per block
     block_max_tf: np.ndarray    # int32 per block
     block_min_dl: np.ndarray    # int32 per block
+    codec: int = CODEC_VARINT
 
 
-def encode_postings(term: str, pl: PostingList) -> EncodedPostings:
+def encode_postings(
+    term: str, pl: PostingList, codec: str = "varint"
+) -> EncodedPostings:
     doc_ids = np.asarray(pl.doc_ids, dtype=np.int64)
     tfs = np.asarray(pl.tfs, dtype=np.int64)
     dls = np.asarray(pl.dls, dtype=np.int64)
@@ -148,9 +155,26 @@ def encode_postings(term: str, pl: PostingList) -> EncodedPostings:
     deltas[0] = doc_ids[0]
     np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
 
-    doc_bytes = varint_encode(deltas.astype(np.uint64))
-    tf_bytes = varint_encode(tfs.astype(np.uint64))
-    dl_bytes = varint_encode(dls.astype(np.uint64))
+    def enc(vals: np.ndarray) -> tuple[bytes, int]:
+        v = vals.astype(np.uint64)
+        if codec == "varint":
+            return varint_encode(v), CODEC_VARINT
+        from .codec_packed import packed_encode
+
+        if codec == "packed":
+            return packed_encode(v), CODEC_PACKED
+        if codec == "auto":  # whichever is smaller, per list
+            a = varint_encode(v)
+            b = packed_encode(v)
+            return (a, CODEC_VARINT) if len(a) <= len(b) else (b, CODEC_PACKED)
+        raise ValueError(f"unknown codec {codec!r}")
+
+    # One codec per posting list (all three sections share it).
+    doc_bytes, codec_id = enc(deltas)
+    if codec == "auto":
+        codec = "varint" if codec_id == CODEC_VARINT else "packed"
+    tf_bytes, _ = enc(tfs)
+    dl_bytes, _ = enc(dls)
     blob = doc_bytes + tf_bytes + dl_bytes
 
     n = doc_ids.size
@@ -177,6 +201,7 @@ def encode_postings(term: str, pl: PostingList) -> EncodedPostings:
         block_last_doc=did_p.max(axis=1).astype(np.int64),
         block_max_tf=tf_p.max(axis=1).astype(np.int32),
         block_min_dl=dl_p.min(axis=1).astype(np.int32),
+        codec=codec_id,
     )
 
 
@@ -186,6 +211,7 @@ def decode_postings(
     tf_offset: int,
     dl_offset: int,
     checksum: int | None = None,
+    codec: int = CODEC_VARINT,
 ) -> PostingList:
     """Decode a blob back to (doc_ids, tfs, dls); verifies the checksum first
     (the CodecUtil.checkFooter contract — corrupt bytes must not decode)."""
@@ -195,9 +221,21 @@ def decode_postings(
             raise ValueError(
                 f"postings checksum mismatch: stored={checksum} actual={actual}"
             )
-    deltas = varint_decode(blob[:tf_offset], df)
-    tfs = varint_decode(blob[tf_offset:dl_offset], df)
-    dls = varint_decode(blob[dl_offset:], df)
+    if codec == CODEC_VARINT:
+        dec = varint_decode
+    elif codec == CODEC_PACKED:
+        from .codec_packed import packed_decode
+
+        def dec(b, count):
+            v = packed_decode(b)
+            if count is not None and v.size != count:
+                raise ValueError(f"decoded {v.size} values, expected {count}")
+            return v
+    else:
+        raise ValueError(f"unknown codec id {codec}")
+    deltas = dec(blob[:tf_offset], df)
+    tfs = dec(blob[tf_offset:dl_offset], df)
+    dls = dec(blob[dl_offset:], df)
     return PostingList(
         doc_ids=np.cumsum(deltas.astype(np.int64)),
         tfs=tfs.astype(np.int64),

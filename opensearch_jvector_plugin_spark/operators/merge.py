@@ -42,6 +42,7 @@ def merge_segments(
     spark: SparkSession,
     index: IndexHandle,
     fan_in: int | None = None,
+    codec: str = "varint",
 ) -> dict:
     """Merge the segment index into ceil(n_segments / fan_in) merged
     segments (fan_in=None -> one segment, the forceMerge(1) analog)."""
@@ -70,7 +71,7 @@ def merge_segments(
         out = {
             "term": [], "df": [], "ctf": [], "max_tf": [], "tf_offset": [],
             "dl_offset": [], "checksum": [], "blob": [], "block_last_doc": [],
-            "block_max_tf": [], "block_min_dl": [],
+            "block_max_tf": [], "block_min_dl": [], "codec": [],
         }
         seg_crc = 0
         n_postings = 0
@@ -79,16 +80,22 @@ def merge_segments(
             for r in grp.itertuples(index=False):
                 dec = decode_postings(
                     r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
-                    int(r.checksum),
+                    int(r.checksum), codec=int(getattr(r, "codec", 1)),
                 )
                 docs.append(dec.doc_ids)
                 tfs.append(dec.tfs)
                 dls.append(dec.dls)
+            cat_docs = np.concatenate(docs)
+            cat_tfs = np.concatenate(tfs)
+            cat_dls = np.concatenate(dls)
+            # Global docID order regardless of segment range layout (doc
+            # ranges need not be disjoint when segments were built
+            # shuffle-free from ingest partitions).
+            ordr = np.argsort(cat_docs, kind="stable")
             enc = encode_postings(
                 term,
-                PostingList(
-                    np.concatenate(docs), np.concatenate(tfs), np.concatenate(dls)
-                ),
+                PostingList(cat_docs[ordr], cat_tfs[ordr], cat_dls[ordr]),
+                codec=codec,
             )
             out["term"].append(term)
             out["df"].append(enc.df)
@@ -101,6 +108,7 @@ def merge_segments(
             out["block_last_doc"].append(enc.block_last_doc.tolist())
             out["block_max_tf"].append(enc.block_max_tf.tolist())
             out["block_min_dl"].append(enc.block_min_dl.tolist())
+            out["codec"].append(enc.codec)
             seg_crc = zlib.crc32(enc.blob, seg_crc) & 0xFFFFFFFF
             n_postings += enc.df
 
@@ -119,6 +127,7 @@ def merge_segments(
                 "block_last_doc": pa.array(out["block_last_doc"], pa.list_(pa.int64())),
                 "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int32())),
                 "block_min_dl": pa.array(out["block_min_dl"], pa.list_(pa.int32())),
+                "codec": pa.array(out["codec"], pa.int32()),
             }
         )
         tmp = os.path.join(out_dir, "_postings.parquet.tmp")

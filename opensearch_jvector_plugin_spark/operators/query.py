@@ -152,7 +152,7 @@ def search(
         for r in pdf.itertuples(index=False):
             dec = decode_postings(
                 r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
-                int(r.checksum),
+                int(r.checksum), codec=int(getattr(r, "codec", 1)),
             )
             decoded[r.term] = (dec.doc_ids, dec.tfs, dec.dls)
             meta[r.term] = (

@@ -5,7 +5,8 @@ then freeze to disk: JVectorWriter.FieldWriter.addValue
 JVectorWriter.java:406-432 + flush/writeField JVectorWriter.java:177-196),
 re-expressed as batch NumPy over one Spark partition's documents:
 
-tokenize (pandas str.findall) -> flatten -> lexsort by (term, doc) ->
+tokenize (byte-level NumPy scanner, see tokenize_batch_bytes) -> flatten ->
+combined-key radix sort by (term, doc) ->
 run-length tf -> per-term delta+varint streams sliced from three
 whole-segment buffers -> per-term skip-block metadata via reduceat.
 
@@ -180,7 +181,7 @@ def encode_segment(
             columns=[
                 "term", "df", "ctf", "max_tf", "tf_offset", "dl_offset",
                 "checksum", "blob", "block_last_doc", "block_max_tf",
-                "block_min_dl",
+                "block_min_dl", "codec",
             ]
         )
         summary.update({"n_terms": 0, "n_postings": 0, "crc": 0})
@@ -276,6 +277,7 @@ def encode_segment(
             "block_last_doc": [blk_last[b_lo[i]:b_hi[i]] for i in range(n_terms)],
             "block_max_tf": [blk_maxtf[b_lo[i]:b_hi[i]] for i in range(n_terms)],
             "block_min_dl": [blk_mindl[b_lo[i]:b_hi[i]] for i in range(n_terms)],
+            "codec": np.full(n_terms, 1, dtype=np.int32),
         }
     )
     summary.update(

