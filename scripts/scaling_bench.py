@@ -36,7 +36,15 @@ cores = int(sys.argv[1]); n_turns = int(sys.argv[2]); n_queries = int(sys.argv[3
 corpus_path = sys.argv[4]
 
 spark = get_spark(cores=cores, app_name=f"ojs-scale-{cores}",
-                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+                  extra_conf={
+                      "spark.ui.showConsoleProgress": "false",
+                      # One scan partition per ingest file: the aligned
+                      # build's segment layout must not be re-packed by the
+                      # scan (128 x ~4MB files would otherwise coalesce
+                      # into ~4 partitions and starve parallelism).
+                      "spark.sql.files.maxPartitionBytes": "8m",
+                      "spark.sql.files.openCostInBytes": "8m",
+                  })
 if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
     # One-time ingest (untimed): synthesize + dense docID assignment. The
     # reference's equivalent (Lucene ingest assigns docIDs before flush)
