@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F

@@ -5,10 +5,12 @@ writeField -> writeGraph -> meta offsets -> finish() sentinel + footers,
 JVectorWriter.java:177-196,333-350), Spark-first:
 
     corpus (doc_id assigned)
-      -> seg_id = doc_id // seg_size            (deterministic doc ranges)
-      -> repartition by seg_id                   (the build's ONE shuffle)
-      -> applyInPandas(encode_segment)           (whole-segment NumPy kernel)
-           executor writes  segments/seg=K/postings.parquet  via pyarrow
+      -> segment layout: either seg_id = doc_id // seg_size with ONE
+         shuffle (deterministic doc ranges, fine-grained resume), or
+         align_partitions=True: each ingest partition IS a segment —
+         ZERO shuffle (the Lucene writer model; the scaling-bench path)
+      -> applyInPandas/mapInPandas(encode_segment) (whole-segment NumPy)
+           executor writes  segments/seg_id=K/postings.parquet  via pyarrow
            returns one summary row per segment
       -> driver writes manifests/seg-K.json      (commit marker: a segment
                                                   whose manifest exists is
@@ -33,7 +35,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+
 
 import pyarrow as pa
 import pyarrow.parquet as pq

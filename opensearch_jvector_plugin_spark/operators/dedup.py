@@ -21,6 +21,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -357,19 +358,49 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine near-duplicate pairs (doc_a < doc_b).
+    """Exact cosine near-duplicate pairs (doc_a < doc_b, cosine >= t).
 
-    The exact/oracle path; at scale use similarity.ivf_topk buckets or
-    simhash-style hyperplane LSH to restrict the pair space first."""
-    a = emb.select(
-        F.col(id_col).cast("long").alias("doc_a"), F.col(vec_col).alias("va")
+    Block-GEMM design: the normalized matrix is broadcast once; each
+    partition multiplies ITS row block against the whole matrix with one
+    float64 matmul and emits only pairs over threshold — no crossJoin, no
+    per-pair expression evaluation. Memory per task = block_rows x N x 8B
+    similarity panel.
+
+    Scale path beyond broadcastable N (~10^7 x small dim): pre-bucket with
+    similarity.ivf_assign or hyperplane LSH and run this kernel per bucket.
+    """
+    import pandas as pd
+
+    spark = emb.sparkSession
+    src = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
     )
-    b = emb.select(
-        F.col(id_col).cast("long").alias("doc_b"), F.col(vec_col).alias("vb")
-    )
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
-        .where(F.col("cosine") >= threshold)
-        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+    pdf = src.toPandas()  # broadcast side: ids + normalized matrix
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    matn = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, matn))
+
+    def block(batches):
+        all_ids, m = bc.value
+        order = np.argsort(all_ids)
+        for b in batches:
+            rows = np.searchsorted(all_ids[order], b["vec_id"].to_numpy())
+            rows = order[rows]
+            sims = m[rows] @ m.T  # (block, N) float64 GEMM
+            for r_local, r_global in enumerate(rows):
+                mask = (sims[r_local] >= threshold) & (all_ids > all_ids[r_global])
+                js = np.flatnonzero(mask)
+                if len(js):
+                    yield pd.DataFrame(
+                        {
+                            "doc_a": np.full(len(js), all_ids[r_global]),
+                            "doc_b": all_ids[js],
+                            "cosine": np.round(sims[r_local, js], 6),
+                        }
+                    )
+
+    return src.select("vec_id").mapInPandas(
+        block, "doc_a LONG, doc_b LONG, cosine DOUBLE"
     )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tokenizer import tokenize_col
-from .dedup import HASH_PRIME
+
 
 FP_PRIME = 1_000_000_007
 FP_MULT = 131

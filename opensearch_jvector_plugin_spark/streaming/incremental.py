@@ -23,7 +23,7 @@ on retry (the same resume discipline as the batch build).
 
 from __future__ import annotations
 
-import os
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
