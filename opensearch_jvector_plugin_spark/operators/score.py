@@ -45,11 +45,17 @@ def score_all(
     """Exact BM25 score for every (query, matching doc): (query_id, doc_id,
     score). Pre-computed postings/df/stats can be passed to reuse a built
     index's state (they are the same tables the index persists)."""
+    derived_postings = postings is None
     if postings is None:
         postings = postings_df(corpus)
     if stats is None:
         stats = corpus_stats(corpus)
     if term_df is None:
+        if derived_postings:
+            # df is derived from the SAME postings; without a persist the
+            # plan re-scans and re-explodes the corpus a second time for
+            # the df side (visible in .explain as two parquet scans).
+            postings = postings.persist()
         term_df = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
     qterms = query_terms_df(queries)
