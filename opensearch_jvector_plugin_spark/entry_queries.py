@@ -119,6 +119,32 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(res.select("query_id", "doc_id", "score"), ks)
 
 
+MINSCORE_QUERIES: list[tuple[int, str, float]] = [
+    (0, "spark join", 1.0),
+    (1, "customer", 1.2),
+    (2, "data data group", 0.8),
+    (3, "zzznotaword", 0.1),
+]
+
+
+def q_bm25_minscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial search (the reference's min_score query mode) served from the
+    segment index: every doc scoring >= the query's threshold, ranked."""
+    import pandas as pd
+
+    from .operators.query import search_min_score
+
+    idx = load_index(_index_for(spark, sf_dir))
+    qpdf = pd.DataFrame(MINSCORE_QUERIES,
+                        columns=["query_id", "query_text", "min_score"])
+    res = search_min_score(spark, idx, qpdf)
+    s6 = F.round(F.col("score"), 6)
+    w = W.partitionBy("query_id").orderBy(s6.desc(), F.asc("doc_id"))
+    return res.select("query_id", "doc_id", "score").withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("query_id", "rank", "doc_id", s6.alias("score"))
+
+
 def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-filter semantics: only lang='en' docs are candidates; corpus
     statistics stay whole-corpus (Lucene filtered-search behavior)."""
@@ -393,6 +419,34 @@ WHERE r.rank <= q.k
 """
 
 SQL_BM25_TOPK = "WITH " + _bm25_ctes() + _BM25_SELECT
+
+def _minscore_sql() -> str:
+    rows = ", ".join(f"({q}, {ms})" for q, t, ms in MINSCORE_QUERIES)
+    # Reuse the bm25 CTE pipeline but with the radial query texts.
+    global ENTRY_QUERIES
+    saved = ENTRY_QUERIES
+    ENTRY_QUERIES = [(q, t, 1) for q, t, ms in MINSCORE_QUERIES]
+    try:
+        ctes = _bm25_ctes()
+    finally:
+        ENTRY_QUERIES = saved
+    return (
+        "WITH "
+        + ctes
+        + f""",
+ms(query_id, min_score) AS (VALUES {rows})
+SELECT s.query_id,
+       row_number() OVER (
+         PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id
+       )::INT AS rank,
+       s.doc_id, round(s.score, 6) AS score
+FROM scored s JOIN ms ON s.query_id = ms.query_id
+WHERE s.score >= ms.min_score
+"""
+    )
+
+
+SQL_BM25_MINSCORE = _minscore_sql()
 
 SQL_BM25_FILTERED = (
     "WITH "
@@ -832,6 +886,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "bm25_topk_filtered": q_bm25_topk_filtered,
+    "bm25_minscore": q_bm25_minscore,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "postings_sample": q_postings_sample,
@@ -858,6 +913,7 @@ ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_topk_indexed": SQL_BM25_TOPK,  # same contract, index-served
     "bm25_topk_filtered": SQL_BM25_FILTERED,
+    "bm25_minscore": SQL_BM25_MINSCORE,
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "postings_sample": SQL_POSTINGS_SAMPLE,

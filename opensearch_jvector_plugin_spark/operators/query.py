@@ -33,9 +33,13 @@ from pyspark.sql import functions as F
 from ..functions.bm25 import bm25_idf_py
 from ..functions.tokenizer import tokenize_text
 from .codec import decode_postings
-from .wand import maxscore_topk, term_upper_bound
+from .wand import maxscore_topk, minscore_all, term_upper_bound
 
 RESULT_SCHEMA = "query_id INT, doc_id LONG, score DOUBLE"
+
+# Mirror of the reference's K_MAX validation (KNNQueryBuilder.java:82,
+# 254-257: k must be in (0, 10000]).
+K_MAX = 10_000
 
 
 @dataclass
@@ -84,7 +88,16 @@ def _query_weights(
         int(q.query_id): Counter(tokenize_text(q.query_text))
         for q in queries.itertuples(index=False)
     }
-    ks = {int(q.query_id): int(q.k) for q in queries.itertuples(index=False)}
+    ks = (
+        {int(q.query_id): int(q.k) for q in queries.itertuples(index=False)}
+        if "k" in queries.columns
+        else {}
+    )
+    for qid, k in ks.items():
+        if k <= 0 or k > K_MAX:
+            raise ValueError(
+                f"query {qid}: k must be in (0, {K_MAX}], got {k}"
+            )
     all_terms = sorted({t for c in qtfs.values() for t in c})
     if not all_terms:
         return {qid: {} for qid in qtfs}, ks, []
@@ -217,9 +230,118 @@ def search(
     ks_df = spark.createDataFrame(
         [(int(q), int(k)) for q, k in ks.items()], "query_id INT, _k LONG"
     )
-    return (
+    out = (
         per_segment.withColumn("rank", F.row_number().over(w).cast("int"))
         .join(F.broadcast(ks_df), "query_id")
         .where(F.col("rank") <= F.col("_k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+    return out
+
+
+def search_min_score(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: pd.DataFrame,
+    allowed_docs: np.ndarray | None = None,
+    use_merged: bool | None = None,
+) -> DataFrame:
+    """Radial search: every doc scoring >= the query's min_score, ranked.
+
+    The analog of the reference's max_distance/min_score query mode
+    (RNNQueryFactory path, KNNQueryBuilder.java:552-565): no k heap, the
+    score threshold itself prunes (θ0 = min_score in the MaxScore split).
+    `queries` columns: query_id, query_text, min_score.
+    """
+    weights, _, terms = _query_weights(spark, index, queries)
+    empty = spark.createDataFrame(
+        [], "query_id INT, rank INT, doc_id LONG, score DOUBLE"
+    )
+    if not terms:
+        return empty
+    ms = {
+        int(q.query_id): float(q.min_score)
+        for q in queries.itertuples(index=False)
+    }
+
+    if use_merged is None:
+        use_merged = index.has_merged()
+    base = index.merged_path if use_merged else index.segments_path
+    postings = spark.read.parquet(base).where(F.col("term").isin(terms))
+
+    avgdl = index.avgdl
+    bc_weights = spark.sparkContext.broadcast(weights)
+    bc_ms = spark.sparkContext.broadcast(ms)
+    bc_allowed = spark.sparkContext.broadcast(
+        np.sort(np.asarray(allowed_docs, dtype=np.int64))
+        if allowed_docs is not None
+        else None
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import decode_postings_batch
+
+        w_all = bc_weights.value
+        ms_map = bc_ms.value
+        allowed = bc_allowed.value
+        decoded: dict[str, tuple] = {}
+        meta: dict[str, tuple] = {}
+        if len(pdf) and (
+            "codec" not in pdf.columns or (pdf["codec"].to_numpy() == 1).all()
+        ):
+            lists = decode_postings_batch(
+                list(pdf["blob"]), pdf["df"].to_numpy(),
+                pdf["checksum"].to_numpy(),
+            )
+            for term, dec in zip(pdf["term"], lists):
+                decoded[term] = (dec.doc_ids, dec.tfs, dec.dls)
+        else:
+            for r in pdf.itertuples(index=False):
+                dec = decode_postings(
+                    r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
+                    int(r.checksum), codec=int(getattr(r, "codec", 1)),
+                )
+                decoded[r.term] = (dec.doc_ids, dec.tfs, dec.dls)
+        for term, btf, bdl in zip(
+            pdf["term"], pdf["block_max_tf"], pdf["block_min_dl"]
+        ):
+            meta[term] = (
+                np.asarray(btf, dtype=np.int64),
+                np.asarray(bdl, dtype=np.int64),
+            )
+        norm_cache: dict[str, np.ndarray] = {}
+        ub_base = {
+            t: term_upper_bound(1.0, meta[t][0], meta[t][1], avgdl)
+            for t in decoded
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, wmap in w_all.items():
+            tp = {t: decoded[t] for t in wmap if t in decoded}
+            if not tp:
+                continue
+            tw = {t: wmap[t] for t in tp}
+            ubs = {t: tw[t] * ub_base[t] for t in tp}
+            docs, scores = minscore_all(
+                tp, tw, ubs, ms_map[qid], avgdl, allowed=allowed,
+                tf_norm_cache=norm_cache,
+            )
+            out_q.append(np.full(len(docs), qid, dtype=np.int32))
+            out_d.append(docs)
+            out_s.append(scores)
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int32),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    per_segment = postings.groupBy("seg_id").applyInPandas(kernel, RESULT_SCHEMA)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return per_segment.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("query_id", "rank", "doc_id", "score")

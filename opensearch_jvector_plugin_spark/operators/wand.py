@@ -82,6 +82,42 @@ def maxscore_topk(
     terms = [t for t in sorted(term_postings) if term_weights.get(t)]
     if not terms or k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    return _maxscore(term_postings, term_weights, term_ubs, k, None, avgdl,
+                     allowed, tf_norm_cache)
+
+
+def minscore_all(
+    term_postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    term_weights: dict[str, float],
+    term_ubs: dict[str, float],
+    min_score: float,
+    avgdl: float,
+    allowed: np.ndarray | None = None,
+    tf_norm_cache: dict[str, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Radial-search analog (the reference's min_score / max_distance query
+    mode, KNNQueryBuilder exactly-one-of {k, max_distance, min_score}):
+    return EVERY doc scoring >= min_score, ranked. The MaxScore split works
+    directly with θ0 = min_score — terms whose cumulative upper bounds stay
+    below it cannot lift a doc over the threshold on their own."""
+    terms = [t for t in sorted(term_postings) if term_weights.get(t)]
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    return _maxscore(term_postings, term_weights, term_ubs, None,
+                     float(min_score), avgdl, allowed, tf_norm_cache)
+
+
+def _maxscore(
+    term_postings,
+    term_weights,
+    term_ubs,
+    k,
+    min_score,
+    avgdl,
+    allowed,
+    tf_norm_cache,
+):
+    terms = [t for t in sorted(term_postings) if term_weights.get(t)]
 
     def norm_of(t):
         if tf_norm_cache is not None:
@@ -118,6 +154,11 @@ def maxscore_topk(
         t = terms[0]
         doc, norm = data[t]
         scores = term_weights[t] * norm
+        if min_score is not None:
+            part = np.flatnonzero(scores >= min_score)
+            order = np.lexsort((doc[part], -scores[part]))
+            sel = part[order]
+            return doc[sel], scores[sel]
         kk = min(k, len(doc))
         if kk < len(doc):
             kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
@@ -128,16 +169,20 @@ def maxscore_topk(
         sel = part[order]
         return doc[sel], scores[sel]
 
-    # --- θ0 seed from the highest-UB term's own contributions.
-    seed_term = max(terms, key=lambda t: term_ubs[t])
-    sd, snorm = data[seed_term]
-    seed_contrib = term_weights[seed_term] * snorm
-    if len(seed_contrib) >= k:
-        theta0 = float(np.partition(seed_contrib, len(seed_contrib) - k)[
-            len(seed_contrib) - k
-        ])
+    if min_score is not None:
+        # Radial mode: the threshold IS the pruning bar.
+        theta0 = float(min_score)
     else:
-        theta0 = 0.0
+        # --- θ0 seed from the highest-UB term's own contributions.
+        seed_term = max(terms, key=lambda t: term_ubs[t])
+        sd, snorm = data[seed_term]
+        seed_contrib = term_weights[seed_term] * snorm
+        if len(seed_contrib) >= k:
+            theta0 = float(np.partition(seed_contrib, len(seed_contrib) - k)[
+                len(seed_contrib) - k
+            ])
+        else:
+            theta0 = 0.0
 
     # --- MaxScore split (ascending UB prefix with cumsum < θ0 is prunable).
     by_ub = sorted(terms, key=lambda t: term_ubs[t])
@@ -150,6 +195,10 @@ def maxscore_topk(
         else:
             break
     essential = [t for t in terms if t not in non_essential]
+    if not essential:
+        # Radial mode only: the sum of ALL term upper bounds is below
+        # min_score — no document can qualify.
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
     # --- Candidates: union of essential docIDs (sorted, deduped).
     cand = np.unique(np.concatenate([data[t][0] for t in essential]))
@@ -168,6 +217,12 @@ def maxscore_topk(
         else:
             pos = np.searchsorted(cand, doc)  # every doc of t is in cand
             np.add.at(scores, pos, term_weights[t] * norm)
+
+    if min_score is not None:
+        part = np.flatnonzero(scores >= min_score)
+        order = np.lexsort((cand[part], -scores[part]))
+        sel = part[order]
+        return cand[sel], scores[sel]
 
     kk = min(k, len(cand))
     if kk < len(cand):

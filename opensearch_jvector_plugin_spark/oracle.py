@@ -89,6 +89,29 @@ def oracle_score_query(
     return scores
 
 
+def oracle_radial(
+    index: OracleIndex,
+    queries: pd.DataFrame,
+    filters: dict[int, set[int]] | None = None,
+) -> pd.DataFrame:
+    """Golden radial results: every doc with score >= min_score, ranked.
+    `queries` columns: query_id, query_text, min_score."""
+    out = []
+    for q in queries.itertuples(index=False):
+        allowed = filters.get(int(q.query_id)) if filters else None
+        scores = oracle_score_query(index, q.query_text, allowed)
+        ordered = sorted(
+            ((d, s) for d, s in scores.items() if s >= float(q.min_score)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        for rank, (doc_id, score) in enumerate(ordered, start=1):
+            out.append((int(q.query_id), rank, doc_id, score))
+    return pd.DataFrame(
+        out, columns=["query_id", "rank", "doc_id", "score"]
+    ).astype({"query_id": np.int32, "rank": np.int32, "doc_id": np.int64,
+              "score": np.float64})
+
+
 def oracle_topk(
     index: OracleIndex,
     queries: pd.DataFrame,
