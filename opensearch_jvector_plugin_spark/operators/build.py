@@ -242,7 +242,22 @@ def build_index(
             json.dump(m, f, indent=1, sort_keys=True)
         os.replace(tmp, path)
 
-    return finalize_index(spark, index_dir)
+    stats = finalize_index(spark, index_dir)
+    from ..plans.metrics import append_metrics
+
+    append_metrics(
+        index_dir,
+        {
+            "job": "build",
+            "segments_built": len(summaries),
+            "segments_skipped": len(skip_ids),
+            "n_docs": stats["n_docs"],
+            "build_ms_total": stats["build_ms_total"],
+            "align_partitions": align_partitions,
+            "input_fingerprint": input_fingerprint,
+        },
+    )
+    return stats
 
 
 def finalize_index(spark: SparkSession, index_dir: str) -> dict:

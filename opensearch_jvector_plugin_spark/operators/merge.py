@@ -162,4 +162,19 @@ def merge_segments(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(index.index_dir, "merged_manifest.json"))
+    from ..plans.metrics import append_metrics
+
+    append_metrics(
+        index.index_dir,
+        {
+            "job": "merge",
+            "fan_in": fan_in,
+            "codec": codec,
+            "inputs": len(seg_ids),
+            "outputs": len(manifest["merged_segments"]),
+            "merge_ms_total": sum(
+                m["merge_ms"] for m in manifest["merged_segments"]
+            ),
+        },
+    )
     return manifest

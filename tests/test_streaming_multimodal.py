@@ -104,3 +104,18 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         decode_image(assets, fake=False).collect()
+
+
+def test_build_and_merge_write_metrics(spark, tiny_corpus_pdf, tmp_path):
+    from opensearch_jvector_plugin_spark.operators.merge import merge_segments
+    from opensearch_jvector_plugin_spark.operators.query import load_index
+    from opensearch_jvector_plugin_spark.plans.metrics import read_metrics
+
+    d = str(tmp_path / "midx")
+    build_index(spark.createDataFrame(tiny_corpus_pdf), d, seg_size=40)
+    merge_segments(spark, load_index(d))
+    recs = read_metrics(d)
+    jobs = [r["job"] for r in recs]
+    assert jobs == ["build", "merge"]
+    assert recs[0]["n_docs"] == 100
+    assert recs[1]["inputs"] == 3
