@@ -113,6 +113,19 @@ def main() -> None:
             fn(spark, sf_dir).count()
             timings[name] = round(time.monotonic() - t0, 3)
 
+        # IVF recall@k vs brute force (the reference logs recall per JMH
+        # iteration, FormatBenchmarkRandomVectors.java:129-141).
+        try:
+            brute = QUERIES["ann_bruteforce"](spark, sf_dir).select(
+                "query_id", "vec_id"
+            )
+            ivf = QUERIES["ann_ivf"](spark, sf_dir).select("query_id", "vec_id")
+            inter = brute.intersect(ivf).count()
+            denom = brute.count()
+            extras["ann_ivf_recall"] = round(inter / denom, 4) if denom else 0.0
+        except Exception:
+            pass
+
         total = round(sum(timings.values()), 3)
         out = {
             "metric": "bm25_engine_total",

@@ -298,6 +298,41 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=ANN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
 
 
+# ------------------------------------------------- transcript flagship ---
+
+_TRANSCRIPT_IDX: dict[str, str] = {}
+
+
+def q_transcript_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule input shape end-to-end: deterministic transcript
+    corpus (conv_id, turn_idx, role, text, tool, ts) -> docID assignment ->
+    segment index -> MaxScore top-k on the reference query set.
+
+    No SQL oracle (the corpus is synthesized, not a harness table) — the
+    driver records a rows-only check; rank-identity vs the pure-Python
+    oracle is enforced in pytest (tests/test_index_end_to_end.py)."""
+    import pandas as pd
+
+    from .plans.docids import assign_doc_ids
+    from .sources.transcripts import reference_queries, synthesize_transcripts
+
+    key = f"{sf_dir}:transcripts"
+    if key not in _TRANSCRIPT_IDX:
+        idx_dir = tempfile.mkdtemp(prefix="ojs_tidx_")
+        corpus = assign_doc_ids(
+            synthesize_transcripts(spark, 150, 10), ["conv_id", "turn_idx"]
+        )
+        build_index(corpus, idx_dir, seg_size=300)
+        _TRANSCRIPT_IDX[key] = idx_dir
+    idx = load_index(_TRANSCRIPT_IDX[key])
+    qpdf = reference_queries(1500)
+    qpdf = qpdf[qpdf["k"] <= 10_000]
+    res = search(spark, idx, qpdf)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 # ------------------------------------------------------- relational extras ---
 
 
@@ -904,6 +939,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
+    "transcript_bm25_indexed": q_transcript_bm25_indexed,
     "topk_per_group": q_topk_per_group,
     "tpch_q1": q_tpch_q1,
     "sessionize": q_sessionize,
