@@ -102,12 +102,19 @@ def _query_weights(
     if not all_terms:
         return {qid: {} for qid in qtfs}, ks, []
 
-    df_rows = (
-        spark.read.parquet(index.dict_path)
-        .where(F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    )
+    dict_df = spark.read.parquet(index.dict_path)
+    if len(all_terms) <= 64:
+        # Few terms: the In() predicate pushes into the Parquet scan (row
+        # groups without the terms are skipped entirely).
+        lookup = dict_df.where(F.col("term").isin(all_terms))
+    else:
+        # Many terms: a giant In() is slow to evaluate; broadcast-join the
+        # term list instead (the FilterIdsSelector bitmap-vs-id-array
+        # cardinality switch, FilterIdsSelector.java:78-109).
+        terms_df = spark.createDataFrame([(t,) for t in all_terms],
+                                         "term STRING")
+        lookup = dict_df.join(F.broadcast(terms_df), "term")
+    df_rows = lookup.select("term", "df").collect()
     global_df = {r["term"]: int(r["df"]) for r in df_rows}
     weights = {
         qid: {
