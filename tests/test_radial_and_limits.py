@@ -108,3 +108,28 @@ def test_adversarial_skew_universal_term(spark, tmp_path):
     assert_rank_identical(got, want)
     # df of the universal term == corpus size (idf ~ ln(1 + 0.5/(N+0.5))).
     assert oracle.df["universalterm"] == n
+
+
+def test_expand_hits_to_conversations(spark, small_corpus_pdf, radial_built):
+    from opensearch_jvector_plugin_spark.operators.expand import (
+        expand_hits_to_conversations,
+    )
+
+    corpus = spark.createDataFrame(small_corpus_pdf)
+    queries = pd.DataFrame([(0, "raretermbbb", 5)],
+                           columns=["query_id", "query_text", "k"])
+    hits = search(spark, load_index(radial_built), queries)
+    expanded = expand_hits_to_conversations(hits, corpus).toPandas()
+
+    # Exactly the full conversations of the hit turns, nothing else.
+    hit_ids = set(hits.toPandas()["doc_id"])
+    want_convs = set(
+        small_corpus_pdf.loc[
+            small_corpus_pdf["doc_id"].isin(hit_ids), "conv_id"
+        ]
+    )
+    assert set(expanded["conv_id"]) == want_convs
+    want_rows = small_corpus_pdf[small_corpus_pdf["conv_id"].isin(want_convs)]
+    assert len(expanded) == len(want_rows)
+    # Every conversation comes back complete (10 turns each).
+    assert (expanded.groupby("conv_id").size() == 10).all()
