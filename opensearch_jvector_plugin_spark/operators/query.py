@@ -66,6 +66,19 @@ class IndexHandle:
             os.path.join(self.index_dir, "merged_manifest.json")
         )
 
+    def merged_is_current(self) -> bool:
+        """A merge is stale once streaming appends add segments it never
+        saw; serving it would silently drop the new docs."""
+        if not self.has_merged():
+            return False
+        with open(os.path.join(self.index_dir, "merged_manifest.json")) as f:
+            manifest = json.load(f)
+        from .build import committed_segments
+
+        return set(manifest["input_segments"]) == set(
+            committed_segments(self.index_dir)
+        )
+
 
 def load_index(index_dir: str) -> IndexHandle:
     with open(os.path.join(index_dir, "stats.json")) as f:
@@ -148,7 +161,14 @@ def search(
         return empty
 
     if use_merged is None:
-        use_merged = index.has_merged()
+        # Auto mode: prefer the merged index only when it covers every
+        # committed segment (appends after a merge make it stale).
+        use_merged = index.merged_is_current()
+    elif use_merged and not index.merged_is_current():
+        raise ValueError(
+            "merged index is stale: segments were appended after the last "
+            "merge_segments(); re-merge or search with use_merged=False"
+        )
     base = index.merged_path if use_merged else index.segments_path
     postings = spark.read.parquet(base).where(F.col("term").isin(terms))
     group_col = "seg_id"

@@ -119,3 +119,38 @@ def test_build_and_merge_write_metrics(spark, tiny_corpus_pdf, tmp_path):
     assert jobs == ["build", "merge"]
     assert recs[0]["n_docs"] == 100
     assert recs[1]["inputs"] == 3
+
+
+def test_stale_merge_detected_after_append(spark, small_corpus_pdf, tmp_path):
+    """Appending segments after a merge must not silently serve the stale
+    merged index: auto mode falls back to raw segments (results include
+    the new docs); explicit use_merged=True raises."""
+    import pytest as _pytest
+
+    from opensearch_jvector_plugin_spark.operators.merge import merge_segments
+    from opensearch_jvector_plugin_spark.oracle import oracle_topk
+
+    d = str(tmp_path / "stale")
+    b1 = spark.createDataFrame(small_corpus_pdf.iloc[:1000].drop(columns=["doc_id"]))
+    append_batch(b1, d, seg_size=250)
+    merge_segments(spark, load_index(d))
+
+    b2 = spark.createDataFrame(small_corpus_pdf.iloc[1000:].drop(columns=["doc_id"]))
+    append_batch(b2, d, seg_size=250)
+
+    idx = load_index(d)
+    assert idx.has_merged() and not idx.merged_is_current()
+
+    queries = reference_queries(2000).iloc[:5]
+    got = search(spark, idx, queries).toPandas()  # auto -> raw segments
+    want = oracle_topk(build_oracle_index(small_corpus_pdf), queries)
+    from tests.test_bruteforce_rank_identity import assert_rank_identical
+    assert_rank_identical(got, want)
+
+    with _pytest.raises(ValueError, match="stale"):
+        search(spark, idx, queries, use_merged=True).count()
+
+    # Re-merging restores merged serving.
+    merge_segments(spark, load_index(d))
+    got2 = search(spark, load_index(d), queries, use_merged=True).toPandas()
+    assert_rank_identical(got2, want)
