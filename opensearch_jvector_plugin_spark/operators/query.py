@@ -292,7 +292,15 @@ def search_min_score(
     }
 
     if use_merged is None:
-        use_merged = index.has_merged()
+        # Auto mode mirrors search(): serve the merged index only when it
+        # covers every committed segment — appends after a merge make it
+        # stale and would silently drop the new docs from radial results.
+        use_merged = index.merged_is_current()
+    elif use_merged and not index.merged_is_current():
+        raise ValueError(
+            "merged index is stale: segments were appended after the last "
+            "merge_segments(); re-merge or search with use_merged=False"
+        )
     base = index.merged_path if use_merged else index.segments_path
     postings = spark.read.parquet(base).where(F.col("term").isin(terms))
 

@@ -56,6 +56,17 @@ def tokenize_batch_bytes(
     lexicographically (the codec's term order contract)."""
     blobs = [(t if isinstance(t, str) else "" if t is None else str(t))
              .encode("utf-8", "surrogatepass") for t in texts]
+    # Unicode-fold parity with the tokenizer contract (functions/tokenizer.py
+    # fold-then-lower): exactly two codepoints in all of Unicode lowercase
+    # INTO [a-z0-9] — U+212A KELVIN SIGN -> 'k', U+0130 I-WITH-DOT -> 'i'.
+    # Fold their UTF-8 sequences at the byte level before scanning;
+    # bytes.replace is a memchr scan when absent, so the ASCII hot path is
+    # unaffected.
+    blobs = [
+        b.replace(b"\xe2\x84\xaa", b"k").replace(b"\xc4\xb0", b"i")
+        if b else b
+        for b in blobs
+    ]
     doc_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum([len(b) + 1 for b in blobs], out=doc_off[1:])
     big = b"\x00".join(blobs) + b"\x00"

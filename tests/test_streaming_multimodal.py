@@ -150,6 +150,18 @@ def test_stale_merge_detected_after_append(spark, small_corpus_pdf, tmp_path):
     with _pytest.raises(ValueError, match="stale"):
         search(spark, idx, queries, use_merged=True).count()
 
+    # Radial search must apply the same staleness discipline (it previously
+    # auto-served any merged index via has_merged(), dropping appended docs).
+    from opensearch_jvector_plugin_spark.operators.query import search_min_score
+    from opensearch_jvector_plugin_spark.oracle import oracle_radial
+
+    rq = queries.iloc[:2].drop(columns=["k"]).assign(min_score=1.0)
+    got_r = search_min_score(spark, idx, rq).toPandas()  # auto -> raw segments
+    want_r = oracle_radial(build_oracle_index(small_corpus_pdf), rq)
+    assert_rank_identical(got_r, want_r)
+    with _pytest.raises(ValueError, match="stale"):
+        search_min_score(spark, idx, rq, use_merged=True).count()
+
     # Re-merging restores merged serving.
     merge_segments(spark, load_index(d))
     got2 = search(spark, load_index(d), queries, use_merged=True).toPandas()

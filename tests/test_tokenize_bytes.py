@@ -37,11 +37,34 @@ ASCII_TEXT = st.text(
     alphabet=st.characters(min_codepoint=1, max_codepoint=127), max_size=200
 )
 
+# Beyond ASCII: arbitrary BMP chars plus a boosted dose of the two
+# fold-relevant codepoints (U+212A, U+0130) and near-miss case-mapping
+# chars (ſ U+017F, İ's friends) — the byte scanner must stay in lockstep
+# with tokenize_text on all of them.
+UNICODE_TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        st.sampled_from("KİẛKiIÅßΩé9 z"),
+    ),
+    max_size=120,
+)
+
 
 @settings(max_examples=300, deadline=None)
 @given(st.lists(ASCII_TEXT, min_size=1, max_size=8))
 def test_matches_reference_tokenizer_ascii(texts):
     check(texts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(UNICODE_TEXT, min_size=1, max_size=6))
+def test_matches_reference_tokenizer_unicode(texts):
+    check(texts)
+
+
+def test_unicode_fold_lockstep():
+    # U+212A KELVIN SIGN folds to 'k' mid-token; U+0130 folds to 'i'.
+    check(["Kelvin temp", "İstanbul", "noİk", "aKb"])
 
 
 def test_edge_inputs():

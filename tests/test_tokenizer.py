@@ -26,6 +26,8 @@ SAMPLES = [
     "tabs\tand\nnewlines  and   spaces",
     "punct;only...!!!",
     "term0001, Term0002; term0003. hotcommon",
+    "Kelvin temp İstanbul noİk",  # Unicode fold chars
+    "café Ωmega ſtraße",  # non-ASCII separators in every path
     None,
 ]
 
