@@ -28,4 +28,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Two oracles read persisted fixture parquets — make sure they exist
+    # before the driver hands the SQL to DuckDB, regardless of whether the
+    # Spark queries have run yet. Both fixtures are deterministic pandas
+    # twins of what the Spark pipelines compute (see entry_queries).
+    import glob
+    import os
+
+    from opensearch_jvector_plugin_spark.entry_queries import (
+        IVF_CENTROIDS,
+        ORACLE_CENTROIDS_DIR,
+        _transcript_parquet,
+    )
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        export_centroids_twin,
+    )
+
+    _transcript_parquet()
+    sf_dirs = set(glob.glob("/root/testdata/sf*"))
+    if os.environ.get("OJS_TEST_SF_DIR"):
+        sf_dirs.add(os.environ["OJS_TEST_SF_DIR"])
+    for d in sorted(sf_dirs):
+        p = os.path.join(d, "embeddings.parquet")
+        if os.path.exists(p):
+            export_centroids_twin(
+                p, ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS
+            )
     return dict(ORACLES)

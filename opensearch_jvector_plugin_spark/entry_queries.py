@@ -108,13 +108,15 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
 
 def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as q_bm25_topk but served from the built segment index
-    through the MaxScore kernel (over-fetch +10 covers round-6 re-ranking)."""
+    through the MaxScore kernel. tie_epsilon = the round-6 quantum: the
+    kernel also returns docs within 1e-6 of the k-th raw score, so the
+    round-6 re-rank can never lose a rounded-tie candidate (any doc with
+    raw score < kth - 1e-6 is strictly below the k-th after rounding)."""
     import pandas as pd
 
     idx = load_index(_index_for(spark, sf_dir))
     qpdf = pd.DataFrame(ENTRY_QUERIES, columns=["query_id", "query_text", "k"])
-    qpdf["k"] = qpdf["k"] + 10
-    res = search(spark, idx, qpdf)
+    res = search(spark, idx, qpdf, tie_epsilon=1e-6)
     ks = _queries_df(spark).select("query_id", F.col("k").alias("_k"))
     return _rank_rounded(res.select("query_id", "doc_id", "score"), ks)
 
@@ -138,6 +140,31 @@ def q_bm25_minscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpdf = pd.DataFrame(MINSCORE_QUERIES,
                         columns=["query_id", "query_text", "min_score"])
     res = search_min_score(spark, idx, qpdf)
+    s6 = F.round(F.col("score"), 6)
+    w = W.partitionBy("query_id").orderBy(s6.desc(), F.asc("doc_id"))
+    return res.select("query_id", "doc_id", "score").withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("query_id", "rank", "doc_id", s6.alias("score"))
+
+
+MAXDIST_QUERIES: list[tuple[int, str]] = [
+    (0, "spark join"),
+    (1, "data data group"),
+]
+MAXDIST = 0.25  # translated threshold: min_score = 1/(1+0.25) = 0.8
+
+
+def q_bm25_maxdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's max_distance query mode (KNNQueryBuilder.java:241-258
+    exactly-one-of + :552-565 radial routing): distance radius translated to
+    a score threshold, served by the radial kernel."""
+    import pandas as pd
+
+    from .operators.query import search_radial
+
+    idx = load_index(_index_for(spark, sf_dir))
+    qpdf = pd.DataFrame(MAXDIST_QUERIES, columns=["query_id", "query_text"])
+    res = search_radial(spark, idx, qpdf, max_distance=MAXDIST)
     s6 = F.round(F.col("score"), 6)
     w = W.partitionBy("query_id").orderBy(s6.desc(), F.asc("doc_id"))
     return res.select("query_id", "doc_id", "score").withColumn(
@@ -209,9 +236,12 @@ def q_doc_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_expand_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hit expansion: top-5 docs for query 0, expanded to every doc sharing
-    their `source` (the conversation-sibling join of SURVEY.md §2.3)."""
+    their `source` (the conversation-sibling join of SURVEY.md §2.3).
+
+    Rides the production indexed search path (MaxScore kernel), not the
+    brute-force scorer — at scale expansion must reuse the index."""
     docs = _docs(spark, sf_dir)
-    top = q_bm25_topk(spark, sf_dir).where(
+    top = q_bm25_topk_indexed(spark, sf_dir).where(
         (F.col("query_id") == 0) & (F.col("rank") <= 5)
     )
     hit_sources = (
@@ -298,19 +328,99 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=ANN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
 
 
+_VIDX_CACHE: dict[str, str] = {}
+IVF_TRAINED_NPROBE = 4
+ORACLE_CENTROIDS_DIR = os.path.join(
+    tempfile.gettempdir(), "ojs_ivf_centroids_v1"
+)
+
+
+def _vector_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the trained, persisted IVF index over the
+    sf's embeddings; export the centroid twin for the DuckDB oracle."""
+    from .operators.vector_index import build_vector_index, export_centroids_twin
+
+    export_centroids_twin(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS,
+    )
+    if sf_dir not in _VIDX_CACHE:
+        d = tempfile.mkdtemp(prefix="ojs_vidx_")
+        build_vector_index(_emb(spark, sf_dir), d, n_centroids=IVF_CENTROIDS)
+        _VIDX_CACHE[sf_dir] = d
+    return _VIDX_CACHE[sf_dir]
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained + persisted IVF serving path (the reference's disk-resident
+    index lifecycle, JVectorWriter train/persist -> JVectorReader probe):
+    k-means centroids, bucketed parquet index, partition-pruned nprobe
+    scan, exact in-bucket scoring."""
+    from .operators.vector_index import ivf_search_exact, load_vector_index
+
+    idx = load_vector_index(_vector_index_for(spark, sf_dir))
+    return ivf_search_exact(
+        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        nprobe=IVF_TRAINED_NPROBE,
+    )
+
+
+def q_ann_bruteforce_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.bruteforce_topk(_emb(spark, sf_dir),
+                               _ann_queries(spark, sf_dir), k=ANN_K,
+                               metric="l2")
+
+
+def q_ann_bruteforce_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.bruteforce_topk(_emb(spark, sf_dir),
+                               _ann_queries(spark, sf_dir), k=ANN_K,
+                               metric="innerproduct")
+
+
 # ------------------------------------------------- transcript flagship ---
 
 _TRANSCRIPT_IDX: dict[str, str] = {}
+_TRANSCRIPT_N_CONVS = 150
+_TRANSCRIPT_TURNS = 10
+
+
+def _transcript_parquet() -> str:
+    """Persist the deterministic transcript corpus for the DuckDB oracle.
+
+    Written from the pandas twin of the Spark synthesis kernel
+    (sources/transcripts.py — same pure function of the global turn index),
+    so the oracle reads row-identical data to what the Spark pipeline
+    synthesizes distributively. Atomic write; path is stable per version so
+    repeated calls are free."""
+    import numpy as np
+
+    from .sources.transcripts import synthesize_transcripts_pdf
+
+    path = os.path.join(
+        tempfile.gettempdir(), "ojs_transcript_oracle_v1.parquet"
+    )
+    if not os.path.exists(path):
+        n = _TRANSCRIPT_N_CONVS * _TRANSCRIPT_TURNS
+        pdf = synthesize_transcripts_pdf(
+            np.arange(n), _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS
+        )
+        tmp = f"{path}.tmp{os.getpid()}"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
 
 
 def q_transcript_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule input shape end-to-end: deterministic transcript
-    corpus (conv_id, turn_idx, role, text, tool, ts) -> docID assignment ->
-    segment index -> MaxScore top-k on the reference query set.
+    corpus (conv_id, turn_idx, role, text, tool, ts) -> docID assignment
+    (scalable offsets method) -> segment index -> MaxScore top-k on the
+    reference query set.
 
-    No SQL oracle (the corpus is synthesized, not a harness table) — the
-    driver records a rows-only check; rank-identity vs the pure-Python
-    oracle is enforced in pytest (tests/test_index_end_to_end.py)."""
+    Oracle: SQL_TRANSCRIPT_BM25 runs the same BM25 CTE pipeline over the
+    persisted pandas-twin corpus (_transcript_parquet), with doc_id =
+    row_number over (conv_id, turn_idx) - 1 — hash-matching it also proves
+    the per-row text-equality invariant between the distributed synthesis +
+    docID assignment and the driver-side twin."""
     import pandas as pd
 
     from .plans.docids import assign_doc_ids
@@ -320,17 +430,24 @@ def q_transcript_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _TRANSCRIPT_IDX:
         idx_dir = tempfile.mkdtemp(prefix="ojs_tidx_")
         corpus = assign_doc_ids(
-            synthesize_transcripts(spark, 150, 10), ["conv_id", "turn_idx"]
+            synthesize_transcripts(
+                spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS
+            ),
+            ["conv_id", "turn_idx"],
         )
         build_index(corpus, idx_dir, seg_size=300)
         _TRANSCRIPT_IDX[key] = idx_dir
     idx = load_index(_TRANSCRIPT_IDX[key])
-    qpdf = reference_queries(1500)
-    qpdf = qpdf[qpdf["k"] <= 10_000]
-    res = search(spark, idx, qpdf)
-    return res.select(
-        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    qpdf = reference_queries(_TRANSCRIPT_N_CONVS * _TRANSCRIPT_TURNS)
+    # tie_epsilon = round-6 quantum: the raw-score cut also returns rounded-
+    # tie boundary docs, then the shared round-6 re-rank resolves them
+    # identically to the SQL side.
+    res = search(spark, idx, qpdf, tie_epsilon=1e-6)
+    ks = spark.createDataFrame(
+        [(int(q), int(k)) for q, _, k in qpdf.itertuples(index=False)],
+        "query_id INT, _k LONG",
     )
+    return _rank_rounded(res.select("query_id", "doc_id", "score"), ks)
 
 
 # ------------------------------------------------------- relational extras ---
@@ -387,16 +504,25 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ============================================================ ORACLE SQL ===
 
 
-def _values_queries() -> str:
-    rows = ", ".join(f"({q}, '{t}', {k})" for q, t, k in ENTRY_QUERIES)
+def _values_queries(queries: list[tuple[int, str, int]] | None = None) -> str:
+    rows = ", ".join(
+        f"({q}, '{t}', {k})" for q, t, k in (queries or ENTRY_QUERIES)
+    )
     return f"(VALUES {rows}) AS q(query_id, query_text, k)"
 
 
-def _bm25_ctes(extra_postings_filter: str = "") -> str:
+_DOCS_CORPUS_SQL = f"SELECT doc_id::BIGINT AS doc_id, {TOKS} AS toks FROM documents"
+
+
+def _bm25_ctes(
+    extra_postings_filter: str = "",
+    corpus_sql: str = _DOCS_CORPUS_SQL,
+    queries: list[tuple[int, str, int]] | None = None,
+) -> str:
     """Shared CTE pipeline: corpus -> tf/dl/df/stats -> scored -> ranked."""
     return f"""
 corpus AS (
-  SELECT doc_id::BIGINT AS doc_id, {TOKS} AS toks FROM documents
+  {corpus_sql}
 ),
 doclen AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM corpus),
 stats AS (
@@ -410,7 +536,7 @@ tf AS (
   GROUP BY doc_id, term
 ),
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-q AS (SELECT * FROM {_values_queries()}),
+q AS (SELECT * FROM {_values_queries(queries)}),
 qt AS (
   SELECT query_id, k, term, count(*)::DOUBLE AS qtf
   FROM (
@@ -458,13 +584,7 @@ SQL_BM25_TOPK = "WITH " + _bm25_ctes() + _BM25_SELECT
 def _minscore_sql() -> str:
     rows = ", ".join(f"({q}, {ms})" for q, t, ms in MINSCORE_QUERIES)
     # Reuse the bm25 CTE pipeline but with the radial query texts.
-    global ENTRY_QUERIES
-    saved = ENTRY_QUERIES
-    ENTRY_QUERIES = [(q, t, 1) for q, t, ms in MINSCORE_QUERIES]
-    try:
-        ctes = _bm25_ctes()
-    finally:
-        ENTRY_QUERIES = saved
+    ctes = _bm25_ctes(queries=[(q, t, 1) for q, t, ms in MINSCORE_QUERIES])
     return (
         "WITH "
         + ctes
@@ -482,6 +602,27 @@ WHERE s.score >= ms.min_score
 
 
 SQL_BM25_MINSCORE = _minscore_sql()
+
+
+def _maxdistance_sql() -> str:
+    thr = repr(1.0 / (1.0 + MAXDIST))
+    ctes = _bm25_ctes(queries=[(q, t, 1) for q, t in MAXDIST_QUERIES])
+    return (
+        "WITH "
+        + ctes
+        + f"""
+SELECT s.query_id,
+       row_number() OVER (
+         PARTITION BY s.query_id ORDER BY round(s.score, 6) DESC, s.doc_id
+       )::INT AS rank,
+       s.doc_id, round(s.score, 6) AS score
+FROM scored s
+WHERE s.score >= {thr}
+"""
+    )
+
+
+SQL_BM25_MAXDISTANCE = _maxdistance_sql()
 
 SQL_BM25_FILTERED = (
     "WITH "
@@ -812,6 +953,45 @@ SELECT query_id, rank::INT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {ANN_K}
 """
 
+_L2SQ = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+_IP = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _bruteforce_sql(dist_expr: str, ascending: bool) -> str:
+    order = "ASC" if ascending else "DESC"
+    return f"""
+WITH e AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id::INT AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {dist_expr.format(a="e.v", b="q.qv")} AS distance
+  FROM e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, distance,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(distance, 6) {order}, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, round(distance, 6) AS distance
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+SQL_ANN_BRUTEFORCE_L2 = _bruteforce_sql(_L2SQ, ascending=True)
+SQL_ANN_BRUTEFORCE_IP = _bruteforce_sql(_IP, ascending=False)
+
 SQL_ANN_IVF = f"""
 WITH e AS (
   SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -846,6 +1026,86 @@ probes AS (
            ) AS rn
     FROM q CROSS JOIN cents c
   ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, {_COS.format(a="e.v", b="q.qv")} AS cosine
+  FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN q ON c.query_id = q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(cosine, 6) DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+def _transcript_sql() -> str:
+    """BM25 pipeline over the persisted transcript corpus; doc_id assigned
+    by row_number over (conv_id, turn_idx), the docID contract."""
+    from .sources.transcripts import reference_queries
+
+    qpdf = reference_queries(_TRANSCRIPT_N_CONVS * _TRANSCRIPT_TURNS)
+    queries = [
+        (int(r.query_id), r.query_text, int(r.k))
+        for r in qpdf.itertuples(index=False)
+    ]
+    path = os.path.join(
+        tempfile.gettempdir(), "ojs_transcript_oracle_v1.parquet"
+    )
+    corpus_sql = (
+        "SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT"
+        f" AS doc_id, {TOKS} AS toks FROM read_parquet('{path}')"
+    )
+    return (
+        "WITH "
+        + _bm25_ctes(corpus_sql=corpus_sql, queries=queries)
+        + _BM25_SELECT
+    )
+
+
+SQL_TRANSCRIPT_BM25 = _transcript_sql()
+
+SQL_ANN_IVF_TRAINED = f"""
+WITH cents AS (
+  SELECT centroid_id::INT AS centroid_id, cvec::DOUBLE[] AS cvec
+  FROM read_parquet('{ORACLE_CENTROIDS_DIR}/*.parquet')
+  WHERE n_vecs = (SELECT count(*) FROM embeddings)
+),
+e AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_COS.format(a="e.v", b="c.cvec")}, 6) DESC,
+                      c.centroid_id ASC
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id::INT AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_COS.format(a="q.qv", b="c.cvec")}, 6) DESC,
+                      c.centroid_id ASC
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {IVF_TRAINED_NPROBE}
 ),
 cand AS (
   SELECT p.query_id, a.vec_id
@@ -922,6 +1182,7 @@ QUERIES = {
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_minscore": q_bm25_minscore,
+    "bm25_maxdistance": q_bm25_maxdistance,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "postings_sample": q_postings_sample,
@@ -938,7 +1199,10 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "ann_bruteforce": q_ann_bruteforce,
+    "ann_bruteforce_l2": q_ann_bruteforce_l2,
+    "ann_bruteforce_ip": q_ann_bruteforce_ip,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_trained": q_ann_ivf_trained,
     "transcript_bm25_indexed": q_transcript_bm25_indexed,
     "topk_per_group": q_topk_per_group,
     "tpch_q1": q_tpch_q1,
@@ -950,6 +1214,7 @@ ORACLES = {
     "bm25_topk_indexed": SQL_BM25_TOPK,  # same contract, index-served
     "bm25_topk_filtered": SQL_BM25_FILTERED,
     "bm25_minscore": SQL_BM25_MINSCORE,
+    "bm25_maxdistance": SQL_BM25_MAXDISTANCE,
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "postings_sample": SQL_POSTINGS_SAMPLE,
@@ -966,7 +1231,11 @@ ORACLES = {
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    "ann_bruteforce_l2": SQL_ANN_BRUTEFORCE_L2,
+    "ann_bruteforce_ip": SQL_ANN_BRUTEFORCE_IP,
     "ann_ivf": SQL_ANN_IVF,
+    "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
+    "transcript_bm25_indexed": SQL_TRANSCRIPT_BM25,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "tpch_q1": SQL_TPCH_Q1,
     "sessionize": SQL_SESSIONIZE,

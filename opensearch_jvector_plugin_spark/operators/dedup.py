@@ -21,6 +21,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import tempfile
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -357,50 +359,128 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 65_536,
+    work_dir: str | None = None,
 ) -> DataFrame:
-    """Exact cosine near-duplicate pairs (doc_a < doc_b, cosine >= t).
+    """Exact cosine near-duplicate pairs (doc_a < doc_b, cosine >= t),
+    fully distributed — NO driver materialization of the embedding table.
 
-    Block-GEMM design: the normalized matrix is broadcast once; each
-    partition multiplies ITS row block against the whole matrix with one
-    float64 matmul and emits only pairs over threshold — no crossJoin, no
-    per-pair expression evaluation. Memory per task = block_rows x N x 8B
-    similarity panel.
+    Block-pair GEMM design (the out-of-core exact all-pairs shape):
+      1. One distributed pass normalizes every vector and spills it to a
+         block store — parquet partitioned by block_id = splitmix64(vec_id)
+         % B with B = ceil(N / block_rows), vectors packed as float64 bytes.
+         (On a cluster work_dir is shared storage, exactly like the segment
+         index's index_dir.)
+      2. The B(B+1)/2 block PAIRS become the work units: each task reads
+         its two blocks (directory-pruned parquet read), GEMMs them in
+         row chunks (panel memory = chunk x block_rows x 8B, bounded), and
+         emits only pairs over threshold with doc_a < doc_b.
 
-    Scale path beyond broadcastable N (~10^7 x small dim): pre-bucket with
-    similarity.ivf_assign or hyperplane LSH and run this kernel per bucket.
+    Driver memory is O(B^2) pair stubs; executor memory is O(block_rows x
+    dim + panel chunk) — both independent of N x dim. Total FLOPs equal the
+    old broadcast-GEMM path; they are just spread over B(B+1)/2 tasks.
     """
     import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .vector_index import _splitmix64
 
     spark = emb.sparkSession
     src = emb.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
     )
-    pdf = src.toPandas()  # broadcast side: ids + normalized matrix
-    ids = pdf["vec_id"].to_numpy(np.int64)
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    matn = mat / norms[:, None]
-    bc = spark.sparkContext.broadcast((ids, matn))
+    n = src.count()
+    if n == 0:
+        return spark.createDataFrame([], "doc_a LONG, doc_b LONG, cosine DOUBLE")
+    n_blocks = max(1, (n + block_rows - 1) // block_rows)
+    store = work_dir or tempfile.mkdtemp(prefix="ojs_neardup_")
 
-    def block(batches):
-        all_ids, m = bc.value
-        order = np.argsort(all_ids)
-        for b in batches:
-            rows = np.searchsorted(all_ids[order], b["vec_id"].to_numpy())
-            rows = order[rows]
-            sims = m[rows] @ m.T  # (block, N) float64 GEMM
-            for r_local, r_global in enumerate(rows):
-                mask = (sims[r_local] >= threshold) & (all_ids > all_ids[r_global])
-                js = np.flatnonzero(mask)
-                if len(js):
-                    yield pd.DataFrame(
-                        {
-                            "doc_a": np.full(len(js), all_ids[r_global]),
-                            "doc_b": all_ids[js],
-                            "cosine": np.round(sims[r_local, js], 6),
-                        }
-                    )
+    def normalize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            matn = mat / np.maximum(norms, 1e-300)[:, None]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "block_id": (_splitmix64(ids)
+                                 % np.uint64(n_blocks)).astype(np.int32),
+                    "vnorm": [r.tobytes() for r in matn],
+                }
+            )
 
-    return src.select("vec_id").mapInPandas(
-        block, "doc_a LONG, doc_b LONG, cosine DOUBLE"
+    src.mapInPandas(
+        normalize, "vec_id LONG, block_id INT, vnorm BINARY"
+    ).write.partitionBy("block_id").mode("overwrite").parquet(store)
+
+    pairs = [
+        (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+    ]
+    par = spark.sparkContext.defaultParallelism
+    pairs_df = spark.createDataFrame(
+        pairs, "i INT, j INT"
+    ).repartition(min(len(pairs), par * 2))
+
+    def _load_block(bid: int):
+        t = pq.read_table(
+            store, filters=[("block_id", "=", int(bid))],
+            columns=["vec_id", "vnorm"],
+        )
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        raw = t["vnorm"].to_pylist()
+        if not raw:
+            return ids, np.zeros((0, 0))
+        m = np.frombuffer(b"".join(raw), dtype=np.float64).reshape(
+            len(ids), -1
+        )
+        # Sort by vec_id for deterministic output order within a task.
+        o = np.argsort(ids)
+        return ids[o], m[o]
+
+    chunk = 2048
+
+    def gemm_pairs(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia, ma = _load_block(int(r.i))
+                if int(r.i) == int(r.j):
+                    ib, mb = ia, ma
+                else:
+                    ib, mb = _load_block(int(r.j))
+                if len(ia) == 0 or len(ib) == 0:
+                    continue
+                for s in range(0, len(ia), chunk):
+                    sims = ma[s:s + chunk] @ mb.T
+                    # doc_a < doc_b over the UNION of both blocks: compare
+                    # global ids (also kills the i == j diagonal).
+                    lt = ia[s:s + chunk, None] < ib[None, :]
+                    ra, cb = np.nonzero((sims >= threshold) & lt)
+                    if len(ra):
+                        yield pd.DataFrame(
+                            {
+                                "doc_a": ia[s + ra],
+                                "doc_b": ib[cb],
+                                "cosine": np.round(sims[ra, cb], 6),
+                            }
+                        )
+                    if int(r.i) != int(r.j):
+                        # The mirrored orientation (b-side id smaller).
+                        gt = ia[s:s + chunk, None] > ib[None, :]
+                        ra2, cb2 = np.nonzero((sims >= threshold) & gt)
+                        if len(ra2):
+                            yield pd.DataFrame(
+                                {
+                                    "doc_a": ib[cb2],
+                                    "doc_b": ia[s + ra2],
+                                    "cosine": np.round(sims[ra2, cb2], 6),
+                                }
+                            )
+
+    return pairs_df.mapInPandas(
+        gemm_pairs, "doc_a LONG, doc_b LONG, cosine DOUBLE"
     )

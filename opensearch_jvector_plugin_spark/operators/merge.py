@@ -30,8 +30,14 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .build import committed_segments
-from .codec import PostingList, decode_postings, encode_postings
+from .codec import (
+    PostingList,
+    decode_postings,
+    decode_postings_batch,
+    encode_postings,
+)
 from .query import IndexHandle
+from .segment import encode_postings_rows
 
 MERGE_SUMMARY_SCHEMA = (
     "seg_id INT, n_terms LONG, n_postings LONG, crc LONG, merge_ms LONG"
@@ -64,53 +70,124 @@ def merge_segments(
         F.broadcast(mapping), "seg_id"
     )
 
+    def _decode_inputs(pdf: pd.DataFrame) -> list:
+        """Decode every input posting list, batching all varint lists into
+        ONE vectorized decode (the decode_postings_batch discipline the
+        query kernel uses — per-list decode overhead dominated merge at
+        scale). Returns PostingLists in pdf row order."""
+        codecs = (
+            pdf["codec"].to_numpy()
+            if "codec" in pdf.columns
+            else np.ones(len(pdf), dtype=np.int64)
+        )
+        lists: list = [None] * len(pdf)
+        v_idx = np.flatnonzero(codecs == 1)
+        if v_idx.size:
+            blobs = pdf["blob"].to_numpy()
+            decoded = decode_postings_batch(
+                [blobs[i] for i in v_idx],
+                pdf["df"].to_numpy()[v_idx],
+                pdf["checksum"].to_numpy()[v_idx],
+            )
+            for i, dec in zip(v_idx, decoded):
+                lists[i] = dec
+        for i in np.flatnonzero(codecs != 1):
+            r = pdf.iloc[int(i)]
+            lists[int(i)] = decode_postings(
+                r["blob"], int(r["df"]), int(r["tf_offset"]),
+                int(r["dl_offset"]), int(r["checksum"]),
+                codec=int(codecs[i]),
+            )
+        return lists
+
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic()
         merged_seg = int(pdf["merged_seg"].iloc[0])
-        pdf = pdf.sort_values(["term", "seg_id"], kind="stable")
-        out = {
-            "term": [], "df": [], "ctf": [], "max_tf": [], "tf_offset": [],
-            "dl_offset": [], "checksum": [], "blob": [], "block_last_doc": [],
-            "block_max_tf": [], "block_min_dl": [], "codec": [],
-        }
-        seg_crc = 0
-        n_postings = 0
-        for term, grp in pdf.groupby("term", sort=True):
-            docs, tfs, dls = [], [], []
-            for r in grp.itertuples(index=False):
-                dec = decode_postings(
-                    r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
-                    int(r.checksum), codec=int(getattr(r, "codec", 1)),
-                )
-                docs.append(dec.doc_ids)
-                tfs.append(dec.tfs)
-                dls.append(dec.dls)
-            cat_docs = np.concatenate(docs)
-            cat_tfs = np.concatenate(tfs)
-            cat_dls = np.concatenate(dls)
-            # Global docID order regardless of segment range layout (doc
-            # ranges need not be disjoint when segments were built
-            # shuffle-free from ingest partitions).
-            ordr = np.argsort(cat_docs, kind="stable")
-            enc = encode_postings(
-                term,
-                PostingList(cat_docs[ordr], cat_tfs[ordr], cat_dls[ordr]),
-                codec=codec,
+        pdf = pdf.sort_values(["term", "seg_id"], kind="stable").reset_index(
+            drop=True
+        )
+        lists = _decode_inputs(pdf)
+        term_vals = pdf["term"].to_numpy()
+        dfs = np.array([len(l.doc_ids) for l in lists], dtype=np.int64)
+
+        # Flatten to whole-group posting arrays, term-major (pdf is term-
+        # sorted). Within each term, postings from all input segments are
+        # re-sorted by global docID (doc ranges need not be disjoint when
+        # segments were built shuffle-free from ingest partitions).
+        new_term = np.ones(len(pdf), dtype=bool)
+        new_term[1:] = term_vals[1:] != term_vals[:-1]
+        group_of_row = np.cumsum(new_term) - 1
+        uniques = term_vals[new_term]
+        n_terms = len(uniques)
+        term_of_post = np.repeat(group_of_row, dfs)
+        cat_docs = np.concatenate([l.doc_ids for l in lists])
+        cat_tfs = np.concatenate([l.tfs for l in lists])
+        cat_dls = np.concatenate([l.dls for l in lists])
+        ordr = np.lexsort((cat_docs, term_of_post))
+        p_doc = cat_docs[ordr]
+        p_tfs = cat_tfs[ordr]
+        p_dl = cat_dls[ordr]
+        t_counts = np.bincount(term_of_post, minlength=n_terms).astype(np.int64)
+        t_starts = np.concatenate(([0], np.cumsum(t_counts)[:-1]))
+        # The strictly-increasing contract encode_postings enforced per-term.
+        inc = np.ones(len(p_doc), dtype=bool)
+        inc[1:] = p_doc[1:] > p_doc[:-1]
+        inc[t_starts] = True
+        if not inc.all():
+            bad = uniques[term_of_post[ordr][np.flatnonzero(~inc)[0]]]
+            raise ValueError(f"duplicate docID in merged term {bad!r}")
+        n_postings = int(len(p_doc))
+
+        if codec == "varint":
+            # Whole-group vectorized encode — the exact encoder the build
+            # uses, so merged bytes/CRC match a single-segment build.
+            rows, seg_crc = encode_postings_rows(
+                uniques, t_starts, t_counts, p_doc, p_tfs, p_dl
             )
-            out["term"].append(term)
-            out["df"].append(enc.df)
-            out["ctf"].append(enc.ctf)
-            out["max_tf"].append(enc.max_tf)
-            out["tf_offset"].append(enc.tf_offset)
-            out["dl_offset"].append(enc.dl_offset)
-            out["checksum"].append(enc.checksum)
-            out["blob"].append(enc.blob)
-            out["block_last_doc"].append(enc.block_last_doc.tolist())
-            out["block_max_tf"].append(enc.block_max_tf.tolist())
-            out["block_min_dl"].append(enc.block_min_dl.tolist())
-            out["codec"].append(enc.codec)
-            seg_crc = zlib.crc32(enc.blob, seg_crc) & 0xFFFFFFFF
-            n_postings += enc.df
+            out = {
+                "term": list(rows["term"]),
+                "df": list(rows["df"].astype(np.int64)),
+                "ctf": list(rows["ctf"]),
+                "max_tf": list(rows["max_tf"]),
+                "tf_offset": list(rows["tf_offset"]),
+                "dl_offset": list(rows["dl_offset"]),
+                "checksum": list(rows["checksum"]),
+                "blob": list(rows["blob"]),
+                "block_last_doc": [b.tolist() for b in rows["block_last_doc"]],
+                "block_max_tf": [b.tolist() for b in rows["block_max_tf"]],
+                "block_min_dl": [b.tolist() for b in rows["block_min_dl"]],
+                "codec": list(rows["codec"]),
+            }
+        else:
+            # packed/auto codecs keep the per-term encoder (block-packed
+            # framing is per-list by design).
+            out = {
+                "term": [], "df": [], "ctf": [], "max_tf": [], "tf_offset": [],
+                "dl_offset": [], "checksum": [], "blob": [],
+                "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
+                "codec": [],
+            }
+            seg_crc = 0
+            for i in range(n_terms):
+                s, c = int(t_starts[i]), int(t_counts[i])
+                enc = encode_postings(
+                    uniques[i],
+                    PostingList(p_doc[s:s + c], p_tfs[s:s + c], p_dl[s:s + c]),
+                    codec=codec,
+                )
+                out["term"].append(enc.term)
+                out["df"].append(enc.df)
+                out["ctf"].append(enc.ctf)
+                out["max_tf"].append(enc.max_tf)
+                out["tf_offset"].append(enc.tf_offset)
+                out["dl_offset"].append(enc.dl_offset)
+                out["checksum"].append(enc.checksum)
+                out["blob"].append(enc.blob)
+                out["block_last_doc"].append(enc.block_last_doc.tolist())
+                out["block_max_tf"].append(enc.block_max_tf.tolist())
+                out["block_min_dl"].append(enc.block_min_dl.tolist())
+                out["codec"].append(enc.codec)
+                seg_crc = zlib.crc32(enc.blob, seg_crc) & 0xFFFFFFFF
 
         out_dir = os.path.join(merged_dir, f"seg_id={merged_seg}")
         os.makedirs(out_dir, exist_ok=True)

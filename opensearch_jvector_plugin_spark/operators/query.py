@@ -147,11 +147,16 @@ def search(
     queries: pd.DataFrame | DataFrame,
     allowed_docs: np.ndarray | None = None,
     use_merged: bool | None = None,
+    tie_epsilon: float = 0.0,
 ) -> DataFrame:
     """Batched top-k: returns (query_id, rank, doc_id, score).
 
     `allowed_docs`: optional sorted int64 array of permitted docIDs applied
     to every query (pre-filter). Shipped as a Spark broadcast.
+    `tie_epsilon`: when > 0, rows scoring within tie_epsilon of the k-th
+    raw score are ALSO returned (rank > k). A caller that re-ranks on
+    rounded scores needs epsilon = the rounding quantum so a rounded tie
+    just outside the raw top-k is never lost to the raw cut.
     """
     if isinstance(queries, DataFrame):
         queries = queries.toPandas()
@@ -234,7 +239,7 @@ def search(
             ubs = {t: tw[t] * ub_base[t] for t in tp}
             docs, scores = maxscore_topk(
                 tp, tw, ubs, ks_map[qid], avgdl, allowed=allowed,
-                tf_norm_cache=norm_cache,
+                tf_norm_cache=norm_cache, tie_epsilon=tie_epsilon,
             )
             out_q.append(np.full(len(docs), qid, dtype=np.int32))
             out_d.append(docs)
@@ -257,13 +262,66 @@ def search(
     ks_df = spark.createDataFrame(
         [(int(q), int(k)) for q, k in ks.items()], "query_id INT, _k LONG"
     )
-    out = (
-        per_segment.withColumn("rank", F.row_number().over(w).cast("int"))
-        .join(F.broadcast(ks_df), "query_id")
-        .where(F.col("rank") <= F.col("_k"))
-        .select("query_id", "rank", "doc_id", "score")
-    )
-    return out
+    ranked = per_segment.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).join(F.broadcast(ks_df), "query_id")
+    if tie_epsilon > 0.0:
+        # Epsilon-extended global cut (matching the kernel's): keep any row
+        # within tie_epsilon of the query's k-th raw score too.
+        kth = F.max(
+            F.when(F.col("rank") == F.col("_k"), F.col("score"))
+        ).over(W.partitionBy("query_id"))
+        ranked = ranked.withColumn("_kth", kth)
+        keep = (F.col("rank") <= F.col("_k")) | (
+            F.col("score") >= F.col("_kth") - F.lit(tie_epsilon)
+        )
+    else:
+        keep = F.col("rank") <= F.col("_k")
+    return ranked.where(keep).select("query_id", "rank", "doc_id", "score")
+
+
+def search_radial(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: pd.DataFrame,
+    k: int | None = None,
+    max_distance: float | None = None,
+    min_score: float | None = None,
+    allowed_docs: np.ndarray | None = None,
+    use_merged: bool | None = None,
+) -> DataFrame:
+    """Unified query-mode surface with the reference's exactly-one-of
+    contract (KNNQueryBuilder.java:241-258: exactly one of k, max_distance,
+    min_score must be set; KNNQueryBuilder.java:552-565 routes the radial
+    modes).
+
+    `queries` columns: query_id, query_text. The chosen mode applies to all
+    queries in the batch. max_distance is translated to a score threshold
+    via the SpaceType.scoreTranslation convention score = 1/(1 + distance),
+    i.e. min_score = 1/(1 + max_distance); the radial kernel then prunes on
+    the score exactly as min_score mode does.
+    """
+    n_set = sum(x is not None for x in (k, max_distance, min_score))
+    if n_set != 1:
+        raise ValueError(
+            "exactly one of k, max_distance, min_score must be set "
+            f"(got {n_set})"
+        )
+    q = queries.copy()
+    if k is not None:
+        q["k"] = int(k)
+        return search(spark, index, q, allowed_docs=allowed_docs,
+                      use_merged=use_merged)
+    if max_distance is not None:
+        if max_distance < 0:
+            raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+        q["min_score"] = 1.0 / (1.0 + float(max_distance))
+    else:
+        if min_score <= 0:
+            raise ValueError(f"min_score must be > 0, got {min_score}")
+        q["min_score"] = float(min_score)
+    return search_min_score(spark, index, q, allowed_docs=allowed_docs,
+                            use_merged=use_merged)
 
 
 def search_min_score(

@@ -50,12 +50,13 @@ def score_all(
         postings = postings_df(corpus)
     if stats is None:
         stats = corpus_stats(corpus)
+    persisted = None
     if term_df is None:
         if derived_postings:
             # df is derived from the SAME postings; without a persist the
             # plan re-scans and re-explodes the corpus a second time for
             # the df side (visible in .explain as two parquet scans).
-            postings = postings.persist()
+            postings = persisted = postings.persist()
         term_df = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
     qterms = query_terms_df(queries)
@@ -74,9 +75,16 @@ def score_all(
             "contrib"
         ),
     )
-    return scored.groupBy("query_id", "doc_id").agg(
+    out = scored.groupBy("query_id", "doc_id").agg(
         F.sum("contrib").alias("score")
     )
+    if persisted is not None:
+        # Expose the cached handle (same discipline as plans/docids) so
+        # callers can release executor storage once `out` is materialized —
+        # repeated score_all calls otherwise accumulate cached partitions
+        # for the session's lifetime.
+        out._ojs_persisted = persisted
+    return out
 
 
 def topk(scores: DataFrame, queries: DataFrame) -> DataFrame:

@@ -38,6 +38,7 @@ _IS_TOKEN[ord("a"):ord("z") + 1] = True
 _IS_TOKEN[ord("0"):ord("9") + 1] = True
 
 _HASH_B = np.uint64(1099511628211)  # FNV64 prime (odd -> invertible mod 2^64)
+_HASH2_B = np.uint64(0x100000001B3 ^ 0x9E3779B97F4A7C15) | np.uint64(1)  # 2nd base
 # Modular inverse of B mod 2^64 (Newton iteration).
 _inv = _HASH_B
 for _ in range(6):
@@ -91,20 +92,27 @@ def tokenize_batch_bytes(
     # Polynomial hash per token, vectorized across TOKENS byte-position by
     # byte-position (token length is bounded, so this is a handful of
     # contiguous passes over the token array — no giant prefix tables).
+    # A SECOND independent hash rides along to detect 64-bit collisions:
+    # two distinct terms colliding in hash1 would silently merge their
+    # posting lists corpus-wide, so every token's hash2 is checked against
+    # its hash1-group representative (simultaneous collision in both
+    # ~2^-128); on mismatch the build falls back to exact byte keys.
     lengths = ends - starts
     max_len = int(lengths.max())
     with np.errstate(over="ignore"):
         hashes = np.zeros(starts.size, dtype=np.uint64)
+        hashes2 = np.full(starts.size, np.uint64(0x243F6A8885A308D3),
+                          dtype=np.uint64)
         for j in range(max_len):
             active = lengths > j
             # uint8 gather, widen only the gathered slice (keeps DRAM
             # traffic at 1 byte/token/pass, not 8).
-            hashes[active] = (
-                hashes[active] * _HASH_B
-                + arr[starts[active] + j].astype(np.uint64)
-            )
+            byte = arr[starts[active] + j].astype(np.uint64)
+            hashes[active] = hashes[active] * _HASH_B + byte
+            hashes2[active] = hashes2[active] * _HASH2_B + byte
         # Mix in the length so h is prefix-free.
         hashes = hashes * _HASH_B + lengths.astype(np.uint64)
+        hashes2 = hashes2 * _HASH2_B + lengths.astype(np.uint64)
 
     doc_of_tok = (np.searchsorted(doc_off, starts, side="right") - 1).astype(
         np.int32
@@ -114,6 +122,15 @@ def tokenize_batch_bytes(
     uniq_h, first_idx, codes = np.unique(
         hashes, return_index=True, return_inverse=True
     )
+    if (hashes2 != hashes2[first_idx][codes]).any():
+        # hash1 collision between distinct byte strings: exact-key slow path
+        # (token identity = the LOWERCASED bytes).
+        toks = np.array(
+            [arr[s:e].tobytes() for s, e in zip(starts, ends)], dtype=object
+        )
+        _, first_idx, codes = np.unique(
+            toks, return_index=True, return_inverse=True
+        )
     # Materialize strings for unique terms only (from the LOWERCASED byte
     # array), then impose lexicographic code order (the on-disk term order
     # contract shared with merge).
@@ -222,6 +239,33 @@ def encode_segment(
     new_term[1:] = p_codes[1:] != p_codes[:-1]
     t_starts = np.flatnonzero(new_term)
     t_counts = np.diff(np.append(t_starts, len(p_codes))).astype(np.int64)
+
+    rows, seg_crc = encode_postings_rows(
+        uniques, t_starts, t_counts, p_doc, tfs, p_dl
+    )
+    summary.update(
+        {"n_terms": int(len(t_starts)), "n_postings": int(len(p_codes)),
+         "crc": int(seg_crc)}
+    )
+    return rows, summary
+
+
+def encode_postings_rows(
+    uniques: np.ndarray,
+    t_starts: np.ndarray,
+    t_counts: np.ndarray,
+    p_doc: np.ndarray,
+    tfs: np.ndarray,
+    p_dl: np.ndarray,
+) -> tuple[pd.DataFrame, int]:
+    """Vectorized whole-group varint encode of term-grouped, docID-sorted
+    posting rows -> the on-disk postings table (one row per term).
+
+    Shared by build (encode_segment) and merge (operators/merge.py), so a
+    merged segment is byte/CRC-identical to the same data built as one
+    segment. Inputs: `uniques[i]` is the term of group i; rows
+    [t_starts[i], t_starts[i]+t_counts[i]) of p_doc/tfs/p_dl are its
+    postings, docID-ascending. Returns (rows_df, seg_crc)."""
     n_terms = len(t_starts)
 
     # docID deltas with reset at term starts.
@@ -291,7 +335,4 @@ def encode_segment(
             "codec": np.full(n_terms, 1, dtype=np.int32),
         }
     )
-    summary.update(
-        {"n_terms": int(n_terms), "n_postings": int(len(p_codes)), "crc": int(seg_crc)}
-    )
-    return rows, summary
+    return rows, seg_crc

@@ -56,6 +56,60 @@ def cosine_topk(
     )
 
 
+def bruteforce_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k per query under any SpaceType metric
+    (SpaceType.java:43-160): (query_id, rank, vec_id, distance).
+
+    Ordering follows the space (cosine/innerproduct descending, l2/l1/linf
+    ascending), ties broken by ascending vec_id. One broadcast of the query
+    set, one scan of the embedding table, bounded per-query window — the
+    same 100 TB shape as cosine_topk."""
+    from ..functions.spaces import (
+        SPACE_ORDERING,
+        inner_product_col,
+        l1_col,
+        l2_squared_col,
+        linf_col,
+    )
+
+    exprs = {
+        "cosine": cosine_col,
+        "innerproduct": inner_product_col,
+        "l2": l2_squared_col,
+        "l1": l1_col,
+        "linf": linf_col,
+    }
+    if metric not in exprs:
+        raise ValueError(f"unknown space type {metric!r}")
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).cast("int").alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    )
+    scored = e.join(F.broadcast(q)).withColumn(
+        "distance", exprs[metric](F.col("v"), F.col("qv"))
+    )
+    d6 = F.round(F.col("distance"), 6)
+    order = d6.asc() if SPACE_ORDERING[metric] else d6.desc()
+    w = W.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", d6.alias("distance"))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 16,

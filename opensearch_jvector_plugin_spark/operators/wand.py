@@ -64,6 +64,7 @@ def maxscore_topk(
     avgdl: float,
     allowed: np.ndarray | None = None,
     tf_norm_cache: dict[str, np.ndarray] | None = None,
+    tie_epsilon: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k for one query over one segment.
 
@@ -76,14 +77,18 @@ def maxscore_topk(
                    QUERY BATCH (tf_norm is query-independent; in batched
                    search each term's normalization is computed once per
                    segment, not once per query)
+    tie_epsilon:   also return every doc scoring within tie_epsilon of the
+                   k-th best (so a caller re-ranking on ROUNDED scores never
+                   loses a rounded-tie candidate to the raw-score cut)
 
-    Returns (doc_ids, scores) ranked by (-score, doc_id), length <= k.
+    Returns (doc_ids, scores) ranked by (-score, doc_id); length <= k when
+    tie_epsilon == 0, otherwise k plus any epsilon-boundary ties.
     """
     terms = [t for t in sorted(term_postings) if term_weights.get(t)]
     if not terms or k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     return _maxscore(term_postings, term_weights, term_ubs, k, None, avgdl,
-                     allowed, tf_norm_cache)
+                     allowed, tf_norm_cache, tie_epsilon)
 
 
 def minscore_all(
@@ -104,7 +109,7 @@ def minscore_all(
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     return _maxscore(term_postings, term_weights, term_ubs, None,
-                     float(min_score), avgdl, allowed, tf_norm_cache)
+                     float(min_score), avgdl, allowed, tf_norm_cache, 0.0)
 
 
 def _maxscore(
@@ -116,6 +121,7 @@ def _maxscore(
     avgdl,
     allowed,
     tf_norm_cache,
+    tie_epsilon=0.0,
 ):
     terms = [t for t in sorted(term_postings) if term_weights.get(t)]
 
@@ -162,10 +168,12 @@ def _maxscore(
         kk = min(k, len(doc))
         if kk < len(doc):
             kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
-            part = np.flatnonzero(scores >= kth)
+            part = np.flatnonzero(scores >= kth - tie_epsilon)
         else:
             part = np.arange(len(doc))
-        order = np.lexsort((doc[part], -scores[part]))[:kk]
+        order = np.lexsort((doc[part], -scores[part]))
+        if tie_epsilon == 0.0:
+            order = order[:kk]
         sel = part[order]
         return doc[sel], scores[sel]
 
@@ -178,9 +186,11 @@ def _maxscore(
         sd, snorm = data[seed_term]
         seed_contrib = term_weights[seed_term] * snorm
         if len(seed_contrib) >= k:
+            # Lower the pruning bar by tie_epsilon so an epsilon-boundary
+            # doc can never be pruned as non-essential.
             theta0 = float(np.partition(seed_contrib, len(seed_contrib) - k)[
                 len(seed_contrib) - k
-            ])
+            ]) - tie_epsilon
         else:
             theta0 = 0.0
 
@@ -227,12 +237,14 @@ def _maxscore(
     kk = min(k, len(cand))
     if kk < len(cand):
         # Tie-aware cut: keep EVERY doc scoring >= the k-th largest value
-        # (argpartition alone would split ties arbitrarily), then resolve
-        # ties by docID in the final sort.
+        # minus tie_epsilon (argpartition alone would split ties
+        # arbitrarily), then resolve ties by docID in the final sort.
         kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
-        part = np.flatnonzero(scores >= kth)
+        part = np.flatnonzero(scores >= kth - tie_epsilon)
     else:
         part = np.arange(len(cand))
-    order = np.lexsort((cand[part], -scores[part]))[:kk]
+    order = np.lexsort((cand[part], -scores[part]))
+    if tie_epsilon == 0.0:
+        order = order[:kk]
     sel = part[order]
     return cand[sel], scores[sel]

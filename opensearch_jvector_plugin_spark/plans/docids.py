@@ -65,4 +65,8 @@ def assign_doc_ids(
         .withColumn(id_col, (F.col("_rn") + F.col("_offset")).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
+    # The persist pins the sampled range boundaries that the collected
+    # offsets were computed from — it must stay cached until the caller has
+    # materialized `out`. Expose the handle so callers can unpersist then.
+    out._ojs_persisted = ordered
     return out

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.build import build_index, committed_segments
@@ -47,13 +46,27 @@ def append_batch(
     base_seg = (max(done) + 1) if done else 0
     base_doc = base_seg * seg_size
 
-    w = W.orderBy("conv_id", "turn_idx")  # micro-batches are small by design
-    with_ids = batch.withColumn(
-        "doc_id", (F.row_number().over(w) - 1 + F.lit(base_doc)).cast("long")
+    # Scalable docID assignment (plans/docids offsets method) rebased to the
+    # next free segment boundary. A catch-up replay after downtime can make
+    # one micro-batch arbitrarily large, so the single-partition global
+    # window is not acceptable here; the offsets method keeps every stage
+    # multi-partition and is deterministic because (conv_id, turn_idx) is
+    # unique.
+    from ..plans.docids import assign_doc_ids
+
+    assigned = assign_doc_ids(batch, ["conv_id", "turn_idx"])
+    with_ids = assigned.withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(base_doc)).cast("long")
     )
-    return build_index(
-        with_ids, index_dir, seg_size=seg_size, text_col=text_col, resume=True
-    )
+    try:
+        return build_index(
+            with_ids, index_dir, seg_size=seg_size, text_col=text_col,
+            resume=True,
+        )
+    finally:
+        persisted = getattr(assigned, "_ojs_persisted", None)
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def start_index_stream(

@@ -52,6 +52,22 @@ def test_streaming_append_matches_batch_build(spark, small_corpus_pdf, tmp_path)
     assert_rank_identical(got, want)
 
 
+def test_streaming_big_batch_multipartition(spark, small_corpus_pdf, tmp_path):
+    """A catch-up replay can make one micro-batch many segments big: the
+    docID assignment must stay multi-partition (offsets method) and still
+    produce the contract ids — rank-identical results to the batch build."""
+    pdf = small_corpus_pdf
+    d = str(tmp_path / "bigbatch")
+    batch = spark.createDataFrame(pdf.drop(columns=["doc_id"])).repartition(8)
+    append_batch(batch, d, seg_size=250)
+    assert len(committed_segments(d)) == 8
+
+    queries = reference_queries(2000)
+    want = oracle_topk(build_oracle_index(pdf), queries)
+    got = search(spark, load_index(d), queries).toPandas()
+    assert_rank_identical(got, want)
+
+
 def test_streaming_file_source(spark, small_corpus_pdf, tmp_path):
     """End-to-end Structured Streaming: files appear -> segments appended."""
     in_dir = str(tmp_path / "in")

@@ -62,6 +62,17 @@ def test_matches_reference_tokenizer_unicode(texts):
     check(texts)
 
 
+def test_hash_collision_falls_back_to_exact_keys(monkeypatch):
+    """With a degenerate hash1 base (sum-of-bytes), anagrams collide; the
+    independent hash2 check must detect it and the exact-byte-key fallback
+    must keep term identity correct."""
+    from opensearch_jvector_plugin_spark.operators import segment as seg
+
+    monkeypatch.setattr(seg, "_HASH_B", np.uint64(1))
+    # 'ab' and 'ba' now share hash1 (same byte sum, same length).
+    check(["ab ba", "ba ab zz", "ab"])
+
+
 def test_unicode_fold_lockstep():
     # U+212A KELVIN SIGN folds to 'k' mid-token; U+0130 folds to 'i'.
     check(["Kelvin temp", "İstanbul", "noİk", "aKb"])

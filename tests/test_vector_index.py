@@ -1,0 +1,157 @@
+"""Trained + persisted IVF index: build/persist/serve lifecycle, training
+determinism vs the pandas oracle twin, quantized-first-pass recall, and the
+partition-pruned probe shape."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opensearch_jvector_plugin_spark.operators.similarity import cosine_topk
+from opensearch_jvector_plugin_spark.operators.vector_index import (
+    build_vector_index,
+    export_centroids_twin,
+    ivf_search,
+    ivf_search_exact,
+    load_vector_index,
+    quantize_int8,
+    train_centroids,
+)
+
+SF_DIR = os.environ.get("OJS_TEST_SF_DIR", "/root/testdata/sf0.001")
+EMB = os.path.join(SF_DIR, "embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def vidx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vidx"))
+    emb = spark.read.parquet(EMB)
+    manifest = build_vector_index(emb, d, n_centroids=16)
+    return d, manifest
+
+
+def queries_df(spark, n=5):
+    emb = spark.read.parquet(EMB)
+    from pyspark.sql import functions as F
+
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def test_build_persists_commit_artifacts(vidx):
+    d, manifest = vidx
+    assert os.path.exists(os.path.join(d, "ivf_manifest.json"))
+    assert os.path.exists(os.path.join(d, "centroids.parquet"))
+    # Bucketed layout: one directory per centroid (partition pruning unit).
+    bucket_dirs = [
+        p for p in os.listdir(os.path.join(d, "buckets"))
+        if p.startswith("centroid_id=")
+    ]
+    assert 1 < len(bucket_dirs) <= manifest["n_centroids"]
+    assert manifest["n_vecs"] == 500
+    assert manifest["trained_on"] == 500  # below SAMPLE_CAP -> full corpus
+
+
+def test_training_matches_pandas_twin(vidx, tmp_path):
+    """The Spark build's centroids must be IDENTICAL to the oracle twin's
+    (same sample rule, same trainer, vec_id-sorted input) — this is what
+    lets the DuckDB oracle verify the served results."""
+    d, _ = vidx
+    twin = export_centroids_twin(EMB, str(tmp_path / "cents"), n_centroids=16)
+    got = pd.read_parquet(os.path.join(d, "centroids.parquet"))
+    want = pd.read_parquet(twin)
+    gm = np.asarray([np.asarray(c) for c in got["cvec"]])
+    wm = np.asarray([np.asarray(c) for c in want["cvec"]])
+    assert gm.shape == wm.shape
+    np.testing.assert_array_equal(gm, wm)
+
+
+def test_train_deterministic_and_unit_norm():
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(400, 32))
+    c1 = train_centroids(mat, 8)
+    c2 = train_centroids(mat, 8)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-12)
+
+
+def test_quantize_roundtrip_error_bounded():
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=(100, 64))
+    q, scale, qnorm = quantize_int8(v)
+    deq = q.astype(np.float64) * scale[:, None]
+    # Symmetric int8: max per-component error is scale/2 = maxabs/254.
+    err = np.abs(deq - v).max(axis=1)
+    assert (err <= np.abs(v).max(axis=1) / 254 + 1e-12).all()
+    np.testing.assert_allclose(qnorm, np.linalg.norm(deq, axis=1), rtol=1e-12)
+
+
+def test_exact_probe_covers_expected_buckets(spark, vidx):
+    d, _ = vidx
+    idx = load_vector_index(d)
+    res = ivf_search_exact(spark, idx, queries_df(spark), k=10, nprobe=4)
+    pdf = res.toPandas()
+    assert set(pdf["query_id"]) == {0, 1, 2, 3, 4}
+    assert (pdf.groupby("query_id")["rank"].max() == 10).all()
+    # Each query's own vector lives in a probed bucket -> rank 1, cosine 1.
+    self_hits = pdf[pdf["vec_id"] == pdf["query_id"]]
+    assert len(self_hits) == 5
+    assert (self_hits["rank"] == 1).all()
+    assert np.allclose(self_hits["cosine"], 1.0)
+
+
+def test_quantized_overquery_recall_vs_exact(spark, vidx):
+    """The int8 ADC first pass + over-query + exact rerank must recover the
+    exact-in-probed-buckets top-k almost perfectly (the quantization loss
+    the reference absorbs with DEFAULT_OVER_QUERY_FACTOR = 5)."""
+    d, _ = vidx
+    idx = load_vector_index(d)
+    q = queries_df(spark)
+    exact = ivf_search_exact(spark, idx, q, k=10, nprobe=4).toPandas()
+    quant = ivf_search(spark, idx, q.toPandas(), k=10, nprobe=4,
+                       over_query=5).toPandas()
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        g = set(quant[quant["query_id"] == qid]["vec_id"])
+        hits += len(e & g)
+    recall = hits / 50
+    assert recall >= 0.95, f"quantized recall {recall}"
+
+
+def test_trained_ivf_recall_vs_bruteforce(spark, vidx):
+    """End-to-end ANN quality: trained-centroid probes at nprobe=4/16 vs
+    the global brute-force oracle."""
+    d, _ = vidx
+    idx = load_vector_index(d)
+    emb = spark.read.parquet(EMB)
+    brute = cosine_topk(emb, queries_df(spark), k=10).toPandas()
+    approx = ivf_search_exact(spark, idx, queries_df(spark), k=10,
+                              nprobe=6).toPandas()
+    hits = 0
+    for qid in range(5):
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(b & a)
+    recall = hits / 50
+    # Deterministic corpus + deterministic training -> stable value
+    # (measured: 0.7/0.8/0.88 at nprobe 4/6/8 on this near-uniform
+    # synthetic corpus); bound set below the nprobe=6 measurement to catch
+    # regressions, not noise.
+    assert recall >= 0.75, f"trained IVF recall@10 {recall}"
+
+
+def test_probe_scan_is_partition_pruned(spark, vidx):
+    d, _ = vidx
+    idx = load_vector_index(d)
+    res = ivf_search_exact(spark, idx, queries_df(spark), k=10, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # The bucket scan must carry a centroid_id partition filter.
+    assert "centroid_id" in plan
+    res.count()
