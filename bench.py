@@ -104,6 +104,33 @@ def main() -> None:
         extras["query_qps"] = round(n_queries / query_s, 1)
         extras["query_result_rows"] = n_rows
 
+        # --- 2b. vector index: build / quantized-serve split ---
+        from pyspark.sql import functions as F
+
+        from opensearch_jvector_plugin_spark.operators.vector_index import (
+            build_vector_index,
+            ivf_search,
+            load_vector_index,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        vdir = os.path.join(work_dir, "vindex")
+        t0 = time.monotonic()
+        build_vector_index(emb, vdir, n_centroids=16)
+        timings["vector_index_build"] = round(time.monotonic() - t0, 3)
+        vidx = load_vector_index(vdir)
+        vq = (
+            emb.where(F.col("vec_id") < 16)
+            .select(
+                F.col("vec_id").cast("int").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            .toPandas()
+        )
+        t0 = time.monotonic()
+        ivf_search(spark, vidx, vq, k=10, nprobe=4, over_query=5).count()
+        timings["ivf_query_quantized"] = round(time.monotonic() - t0, 3)
+
         # --- 3. registry queries at the sf dir ---
         skip = {"dedup_ngram"} if sf > 0.011 else set()
         for name, fn in QUERIES.items():
@@ -123,6 +150,13 @@ def main() -> None:
             inter = brute.intersect(ivf).count()
             denom = brute.count()
             extras["ann_ivf_recall"] = round(inter / denom, 4) if denom else 0.0
+            trained = QUERIES["ann_ivf_trained"](spark, sf_dir).select(
+                "query_id", "vec_id"
+            )
+            inter_t = brute.intersect(trained).count()
+            extras["ann_ivf_trained_recall"] = (
+                round(inter_t / denom, 4) if denom else 0.0
+            )
         except Exception:
             pass
 

@@ -131,11 +131,14 @@ def ivf_assign(
     scored = e.join(F.broadcast(centroids)).withColumn(
         "cos_c", cosine_col(F.col("v"), F.col("cvec"))
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    # Argmax as ONE map-side-combinable aggregation (max_by over a
+    # (cos, -centroid_id) struct = highest cosine, ties to lowest id) —
+    # no full sort of the N x K exploded rows, unlike a window rank.
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("cos_c"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("centroid_id")
     )
     return assign, centroids
 
