@@ -37,7 +37,6 @@ from .codec import (
     encode_postings,
 )
 from .query import IndexHandle
-from .segment import encode_postings_rows
 
 MERGE_SUMMARY_SCHEMA = (
     "seg_id INT, n_terms LONG, n_postings LONG, crc LONG, merge_ms LONG"
@@ -70,33 +69,50 @@ def merge_segments(
         F.broadcast(mapping), "seg_id"
     )
 
+    # Hybrid decode threshold, MEASURED (BENCH.md round 2): per-term/
+    # per-list processing beats whole-group vectorization at merge shape —
+    # merge lists are LARGE (hot terms: df ~ 1e5+), so one monolithic
+    # decode/lexsort/encode over ~25M postings thrashes DRAM (44s) while
+    # the per-term loop stays cache-resident (12s). Batching only pays for
+    # SMALL lists, where the per-call decode overhead dominates (the round-1
+    # query-kernel lesson — query terms are many and small). So: varint
+    # lists with df <= SMALL_DF decode in bounded batched chunks; everything
+    # else decodes per-list.
+    SMALL_DF = 4096
+    BATCH_VALUES = 2_000_000  # cap per batched decode call (cache-sized)
+
     def _decode_inputs(pdf: pd.DataFrame) -> list:
-        """Decode every input posting list, batching all varint lists into
-        ONE vectorized decode (the decode_postings_batch discipline the
-        query kernel uses — per-list decode overhead dominated merge at
-        scale). Returns PostingLists in pdf row order."""
+        """Decode every input posting list (hybrid small-batched / large-
+        per-list). Returns PostingLists in pdf row order."""
         codecs = (
             pdf["codec"].to_numpy()
             if "codec" in pdf.columns
             else np.ones(len(pdf), dtype=np.int64)
         )
+        dfs = pdf["df"].to_numpy()
+        blobs = pdf["blob"].to_numpy()
+        cks = pdf["checksum"].to_numpy()
         lists: list = [None] * len(pdf)
-        v_idx = np.flatnonzero(codecs == 1)
-        if v_idx.size:
-            blobs = pdf["blob"].to_numpy()
+        small = np.flatnonzero((codecs == 1) & (dfs <= SMALL_DF))
+        i = 0
+        while i < len(small):
+            j, acc = i, 0
+            while j < len(small) and (acc == 0 or acc + 3 * int(dfs[small[j]]) <= BATCH_VALUES):
+                acc += 3 * int(dfs[small[j]])
+                j += 1
+            sel = small[i:j]
             decoded = decode_postings_batch(
-                [blobs[i] for i in v_idx],
-                pdf["df"].to_numpy()[v_idx],
-                pdf["checksum"].to_numpy()[v_idx],
+                [blobs[s] for s in sel], dfs[sel], cks[sel]
             )
-            for i, dec in zip(v_idx, decoded):
-                lists[i] = dec
-        for i in np.flatnonzero(codecs != 1):
-            r = pdf.iloc[int(i)]
-            lists[int(i)] = decode_postings(
+            for s, dec in zip(sel, decoded):
+                lists[s] = dec
+            i = j
+        for s in np.flatnonzero((codecs != 1) | (dfs > SMALL_DF)):
+            r = pdf.iloc[int(s)]
+            lists[int(s)] = decode_postings(
                 r["blob"], int(r["df"]), int(r["tf_offset"]),
                 int(r["dl_offset"]), int(r["checksum"]),
-                codec=int(codecs[i]),
+                codec=int(codecs[s]),
             )
         return lists
 
@@ -108,86 +124,54 @@ def merge_segments(
         )
         lists = _decode_inputs(pdf)
         term_vals = pdf["term"].to_numpy()
-        dfs = np.array([len(l.doc_ids) for l in lists], dtype=np.int64)
-
-        # Flatten to whole-group posting arrays, term-major (pdf is term-
-        # sorted). Within each term, postings from all input segments are
-        # re-sorted by global docID (doc ranges need not be disjoint when
-        # segments were built shuffle-free from ingest partitions).
         new_term = np.ones(len(pdf), dtype=bool)
         new_term[1:] = term_vals[1:] != term_vals[:-1]
-        group_of_row = np.cumsum(new_term) - 1
-        uniques = term_vals[new_term]
-        n_terms = len(uniques)
-        term_of_post = np.repeat(group_of_row, dfs)
-        cat_docs = np.concatenate([l.doc_ids for l in lists])
-        cat_tfs = np.concatenate([l.tfs for l in lists])
-        cat_dls = np.concatenate([l.dls for l in lists])
-        ordr = np.lexsort((cat_docs, term_of_post))
-        p_doc = cat_docs[ordr]
-        p_tfs = cat_tfs[ordr]
-        p_dl = cat_dls[ordr]
-        t_counts = np.bincount(term_of_post, minlength=n_terms).astype(np.int64)
-        t_starts = np.concatenate(([0], np.cumsum(t_counts)[:-1]))
-        # The strictly-increasing contract encode_postings enforced per-term.
-        inc = np.ones(len(p_doc), dtype=bool)
-        inc[1:] = p_doc[1:] > p_doc[:-1]
-        inc[t_starts] = True
-        if not inc.all():
-            bad = uniques[term_of_post[ordr][np.flatnonzero(~inc)[0]]]
-            raise ValueError(f"duplicate docID in merged term {bad!r}")
-        n_postings = int(len(p_doc))
+        t_row_starts = np.flatnonzero(new_term)
+        t_row_ends = np.append(t_row_starts[1:], len(pdf))
 
-        if codec == "varint":
-            # Whole-group vectorized encode — the exact encoder the build
-            # uses, so merged bytes/CRC match a single-segment build.
-            rows, seg_crc = encode_postings_rows(
-                uniques, t_starts, t_counts, p_doc, p_tfs, p_dl
-            )
-            out = {
-                "term": list(rows["term"]),
-                "df": list(rows["df"].astype(np.int64)),
-                "ctf": list(rows["ctf"]),
-                "max_tf": list(rows["max_tf"]),
-                "tf_offset": list(rows["tf_offset"]),
-                "dl_offset": list(rows["dl_offset"]),
-                "checksum": list(rows["checksum"]),
-                "blob": list(rows["blob"]),
-                "block_last_doc": [b.tolist() for b in rows["block_last_doc"]],
-                "block_max_tf": [b.tolist() for b in rows["block_max_tf"]],
-                "block_min_dl": [b.tolist() for b in rows["block_min_dl"]],
-                "codec": list(rows["codec"]),
-            }
-        else:
-            # packed/auto codecs keep the per-term encoder (block-packed
-            # framing is per-list by design).
-            out = {
-                "term": [], "df": [], "ctf": [], "max_tf": [], "tf_offset": [],
-                "dl_offset": [], "checksum": [], "blob": [],
-                "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
-                "codec": [],
-            }
-            seg_crc = 0
-            for i in range(n_terms):
-                s, c = int(t_starts[i]), int(t_counts[i])
-                enc = encode_postings(
-                    uniques[i],
-                    PostingList(p_doc[s:s + c], p_tfs[s:s + c], p_dl[s:s + c]),
-                    codec=codec,
+        out = {
+            "term": [], "df": [], "ctf": [], "max_tf": [], "tf_offset": [],
+            "dl_offset": [], "checksum": [], "blob": [], "block_last_doc": [],
+            "block_max_tf": [], "block_min_dl": [], "codec": [],
+        }
+        seg_crc = 0
+        n_postings = 0
+        # Per-term concat + sort + encode: cache-resident per term, and the
+        # encoder is byte-identical to the build's (CRC-identity contract).
+        for rs, re_ in zip(t_row_starts, t_row_ends):
+            term = term_vals[rs]
+            segs = lists[rs:re_]
+            if len(segs) == 1:
+                cat_docs, cat_tfs, cat_dls = (
+                    segs[0].doc_ids, segs[0].tfs, segs[0].dls
                 )
-                out["term"].append(enc.term)
-                out["df"].append(enc.df)
-                out["ctf"].append(enc.ctf)
-                out["max_tf"].append(enc.max_tf)
-                out["tf_offset"].append(enc.tf_offset)
-                out["dl_offset"].append(enc.dl_offset)
-                out["checksum"].append(enc.checksum)
-                out["blob"].append(enc.blob)
-                out["block_last_doc"].append(enc.block_last_doc.tolist())
-                out["block_max_tf"].append(enc.block_max_tf.tolist())
-                out["block_min_dl"].append(enc.block_min_dl.tolist())
-                out["codec"].append(enc.codec)
-                seg_crc = zlib.crc32(enc.blob, seg_crc) & 0xFFFFFFFF
+            else:
+                cat_docs = np.concatenate([l.doc_ids for l in segs])
+                cat_tfs = np.concatenate([l.tfs for l in segs])
+                cat_dls = np.concatenate([l.dls for l in segs])
+            # Global docID order regardless of segment range layout (doc
+            # ranges need not be disjoint when segments were built
+            # shuffle-free from ingest partitions).
+            ordr = np.argsort(cat_docs, kind="stable")
+            enc = encode_postings(
+                term,
+                PostingList(cat_docs[ordr], cat_tfs[ordr], cat_dls[ordr]),
+                codec=codec,
+            )
+            out["term"].append(enc.term)
+            out["df"].append(enc.df)
+            out["ctf"].append(enc.ctf)
+            out["max_tf"].append(enc.max_tf)
+            out["tf_offset"].append(enc.tf_offset)
+            out["dl_offset"].append(enc.dl_offset)
+            out["checksum"].append(enc.checksum)
+            out["blob"].append(enc.blob)
+            out["block_last_doc"].append(enc.block_last_doc.tolist())
+            out["block_max_tf"].append(enc.block_max_tf.tolist())
+            out["block_min_dl"].append(enc.block_min_dl.tolist())
+            out["codec"].append(enc.codec)
+            seg_crc = zlib.crc32(enc.blob, seg_crc) & 0xFFFFFFFF
+            n_postings += enc.df
 
         out_dir = os.path.join(merged_dir, f"seg_id={merged_seg}")
         os.makedirs(out_dir, exist_ok=True)
