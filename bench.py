@@ -154,6 +154,9 @@ def main() -> None:
                 fn(spark, sf_dir).count()
                 t = min(t, time.monotonic() - t0)
             timings[name] = round(t, 3)
+            # Queries that persist derived frames (score_all) would
+            # otherwise accumulate executor storage across the loop.
+            spark.catalog.clearCache()
 
         # IVF recall@k vs brute force (the reference logs recall per JMH
         # iteration, FormatBenchmarkRandomVectors.java:129-141).

@@ -365,6 +365,23 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the acceptDocs pre-filter of
+    JVectorReader.java:128 / QueryUtils.createBits): only even-label
+    vectors are candidates, applied BEFORE the top-k cut so the query
+    still fills k from allowed matches."""
+    from .operators.vector_index import ivf_search_exact, load_vector_index
+
+    idx = load_vector_index(_vector_index_for(spark, sf_dir))
+    allowed = _emb(spark, sf_dir).where(F.col("label") % 2 == 0).select(
+        "vec_id"
+    )
+    return ivf_search_exact(
+        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        nprobe=IVF_TRAINED_NPROBE, allowed=allowed,
+    )
+
+
 def q_ann_bruteforce_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.bruteforce_topk(_emb(spark, sf_dir),
                                _ann_queries(spark, sf_dir), k=ANN_K,
@@ -1126,6 +1143,19 @@ SELECT query_id, rank::INT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {ANN_K}
 """
 
+def _ivf_filtered_sql() -> str:
+    base = SQL_ANN_IVF_TRAINED
+    # Same pipeline, with the pre-filter applied to candidates (before the
+    # rank cut), mirroring acceptDocs semantics.
+    return base.replace(
+        "cand AS (\n  SELECT p.query_id, a.vec_id\n  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id\n),",
+        "cand AS (\n  SELECT p.query_id, a.vec_id\n  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id\n  WHERE a.vec_id IN (SELECT vec_id::BIGINT FROM embeddings WHERE label % 2 = 0)\n),",
+    )
+
+
+SQL_ANN_IVF_FILTERED = _ivf_filtered_sql()
+assert "label % 2 = 0" in SQL_ANN_IVF_FILTERED
+
 SQL_TOPK_PER_GROUP = """
 SELECT l_returnflag, rank::INT AS rank, l_orderkey, l_linenumber,
        round(l_extendedprice, 6) AS l_extendedprice
@@ -1203,6 +1233,7 @@ QUERIES = {
     "ann_bruteforce_ip": q_ann_bruteforce_ip,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
+    "ann_ivf_filtered": q_ann_ivf_filtered,
     "transcript_bm25_indexed": q_transcript_bm25_indexed,
     "topk_per_group": q_topk_per_group,
     "tpch_q1": q_tpch_q1,
@@ -1235,6 +1266,7 @@ ORACLES = {
     "ann_bruteforce_ip": SQL_ANN_BRUTEFORCE_IP,
     "ann_ivf": SQL_ANN_IVF,
     "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
+    "ann_ivf_filtered": SQL_ANN_IVF_FILTERED,
     "transcript_bm25_indexed": SQL_TRANSCRIPT_BM25,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "tpch_q1": SQL_TPCH_Q1,

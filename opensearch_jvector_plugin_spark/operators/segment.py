@@ -39,6 +39,16 @@ _IS_TOKEN[ord("0"):ord("9") + 1] = True
 
 _HASH_B = np.uint64(1099511628211)  # FNV64 prime (odd -> invertible mod 2^64)
 _HASH2_B = np.uint64(0x100000001B3 ^ 0x9E3779B97F4A7C15) | np.uint64(1)  # 2nd base
+
+# Injective packing for short tokens: [a-z0-9] -> 1..36 (6 bits/symbol).
+# 9 symbols x 6 bits + 4-bit length = 58 bits < 2^63 -> bit 63 is free to
+# mark the polynomial-hash regime for longer tokens.
+PACK_MAX = 9
+_SYM6 = np.zeros(256, dtype=np.uint64)
+for _c in range(ord("a"), ord("z") + 1):
+    _SYM6[_c] = _c - ord("a") + 1
+for _c in range(ord("0"), ord("9") + 1):
+    _SYM6[_c] = _c - ord("0") + 27
 # Modular inverse of B mod 2^64 (Newton iteration).
 _inv = _HASH_B
 for _ in range(6):
@@ -89,30 +99,63 @@ def tokenize_batch_bytes(
     nxt[:-1] = tok[1:]
     ends = np.flatnonzero(tok & ~nxt) + 1
 
-    # Polynomial hash per token, vectorized across TOKENS byte-position by
-    # byte-position (token length is bounded, so this is a handful of
-    # contiguous passes over the token array — no giant prefix tables).
-    # A SECOND independent hash rides along to detect 64-bit collisions:
-    # two distinct terms colliding in hash1 would silently merge their
-    # posting lists corpus-wide, so every token's hash2 is checked against
-    # its hash1-group representative (simultaneous collision in both
-    # ~2^-128); on mismatch the build falls back to exact byte keys.
+    # Token identity, vectorized across TOKENS byte-position by byte-
+    # position (token length is bounded, so this is a handful of contiguous
+    # passes over the token array — no giant prefix tables). Two regimes:
+    #
+    # - length <= PACK_MAX (the overwhelming majority): the code is an
+    #   INJECTIVE 6-bit-per-symbol packing ([a-z0-9] = 36 symbols < 64)
+    #   plus the length — collisions are impossible by construction, and
+    #   the packing costs the same shift-or the hash would.
+    # - length > PACK_MAX (the tail): 60-bit polynomial hash with bit 63
+    #   set (so long codes can never alias a packed short code), plus a
+    #   SECOND independent hash to detect 64-bit collisions — two distinct
+    #   terms colliding in hash1 would silently merge their posting lists
+    #   corpus-wide, so each long token's hash2 is checked against its
+    #   group representative (simultaneous collision ~2^-120); on mismatch
+    #   the build falls back to exact byte keys.
     lengths = ends - starts
     max_len = int(lengths.max())
+    n_tok = starts.size
+    is_short = lengths <= PACK_MAX
+    has_long = not bool(is_short.all())
+    long_m = ~is_short
     with np.errstate(over="ignore"):
-        hashes = np.zeros(starts.size, dtype=np.uint64)
-        hashes2 = np.full(starts.size, np.uint64(0x243F6A8885A308D3),
+        hashes = np.zeros(n_tok, dtype=np.uint64)
+        hashes2 = np.full(n_tok, np.uint64(0x243F6A8885A308D3),
                           dtype=np.uint64)
         for j in range(max_len):
             active = lengths > j
-            # uint8 gather, widen only the gathered slice (keeps DRAM
-            # traffic at 1 byte/token/pass, not 8).
-            byte = arr[starts[active] + j].astype(np.uint64)
-            hashes[active] = hashes[active] * _HASH_B + byte
-            hashes2[active] = hashes2[active] * _HASH2_B + byte
-        # Mix in the length so h is prefix-free.
-        hashes = hashes * _HASH_B + lengths.astype(np.uint64)
-        hashes2 = hashes2 * _HASH2_B + lengths.astype(np.uint64)
+            if j < PACK_MAX:
+                # uint8 gather, widen only the gathered slice (keeps DRAM
+                # traffic at 1 byte/token/pass, not 8). When the batch has
+                # no long tokens (the common case) this is the whole loop
+                # body — no extra masks vs a plain rolling hash.
+                act_s = (active & is_short) if has_long else active
+                sym = _SYM6[arr[starts[act_s] + j]]
+                hashes[act_s] = (hashes[act_s] << np.uint64(6)) | sym
+                if not has_long:
+                    continue
+                act_l = active & long_m
+            else:
+                act_l = active
+            byte = arr[starts[act_l] + j].astype(np.uint64)
+            hashes[act_l] = hashes[act_l] * _HASH_B + byte
+            hashes2[act_l] = hashes2[act_l] * _HASH2_B + byte
+        # Short: mix in the length (<= 54 bits used + 4-bit length -> bit 63
+        # clear). Long: fold to 60 bits, set bit 63 (+ length into hash2).
+        hashes[is_short] = (
+            (hashes[is_short] << np.uint64(4))
+            | lengths[is_short].astype(np.uint64)
+        )
+        if has_long:
+            hashes[long_m] = (
+                (hashes[long_m] * _HASH_B + lengths[long_m].astype(np.uint64))
+                & np.uint64((1 << 60) - 1)
+            ) | np.uint64(1 << 63)
+            hashes2[long_m] = (
+                hashes2[long_m] * _HASH2_B + lengths[long_m].astype(np.uint64)
+            )
 
     doc_of_tok = (np.searchsorted(doc_off, starts, side="right") - 1).astype(
         np.int32
@@ -122,7 +165,7 @@ def tokenize_batch_bytes(
     uniq_h, first_idx, codes = np.unique(
         hashes, return_index=True, return_inverse=True
     )
-    if (hashes2 != hashes2[first_idx][codes]).any():
+    if has_long and (hashes2 != hashes2[first_idx][codes]).any():
         # hash1 collision between distinct byte strings: exact-key slow path
         # (token identity = the LOWERCASED bytes).
         toks = np.array(

@@ -345,11 +345,18 @@ def ivf_search_exact(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 4,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe nprobe buckets per query, score EXACT float64 cosine with the
     left-fold Catalyst expression (bit-identical to the DuckDB oracle),
     rank by round-6 desc / vec_id asc. The bucket scan is partition-pruned
-    to the probed centroid_ids."""
+    to the probed centroid_ids.
+
+    `allowed`: optional DataFrame with a vec_id column — PRE-filter
+    semantics (the acceptDocs analog of JVectorReader.java:128): the
+    filter is applied to candidates BEFORE the top-k cut, so a filtered
+    query still returns k results when k allowed matches exist in the
+    probed buckets."""
     from .dedup import cosine_col
 
     qpdf = queries.toPandas()
@@ -367,6 +374,11 @@ def ivf_search_exact(
         .where(F.col("centroid_id").isin(probed_cids))
         .select("vec_id", "centroid_id", F.col("embedding").alias("v"))
     )
+    if allowed is not None:
+        bucket = bucket.join(
+            allowed.select(F.col("vec_id").cast("long").alias("vec_id")),
+            "vec_id", "left_semi",
+        )
     cand = bucket.join(F.broadcast(probes_df), "centroid_id")
     scored = cand.join(F.broadcast(q), "query_id").withColumn(
         "cosine", cosine_col(F.col("v"), F.col("qv"))

@@ -63,14 +63,25 @@ def test_matches_reference_tokenizer_unicode(texts):
 
 
 def test_hash_collision_falls_back_to_exact_keys(monkeypatch):
-    """With a degenerate hash1 base (sum-of-bytes), anagrams collide; the
-    independent hash2 check must detect it and the exact-byte-key fallback
-    must keep term identity correct."""
+    """With a degenerate hash1 base (sum-of-bytes), long anagrams collide;
+    the independent hash2 check must detect it and the exact-byte-key
+    fallback must keep term identity correct. (Tokens <= PACK_MAX chars are
+    injectively packed — collisions are impossible there by construction —
+    so the colliding pair must be longer than PACK_MAX.)"""
     from opensearch_jvector_plugin_spark.operators import segment as seg
 
     monkeypatch.setattr(seg, "_HASH_B", np.uint64(1))
-    # 'ab' and 'ba' now share hash1 (same byte sum, same length).
-    check(["ab ba", "ba ab zz", "ab"])
+    # 12-char anagrams now share hash1 (same byte sum, same length).
+    check(["abcdefghijkl lkjihgfedcba", "lkjihgfedcba abcdefghijkl zz"])
+
+
+def test_short_tokens_injective_no_hash_path():
+    """Every token <= PACK_MAX chars gets an injective packed code: a batch
+    of all-distinct short tokens must produce exactly that many terms."""
+    toks = [f"t{i:04d}" for i in range(2000)]
+    per_doc, dl = reconstruct([" ".join(toks)])
+    assert per_doc[0] == toks
+    assert dl[0] == 2000
 
 
 def test_unicode_fold_lockstep():
