@@ -177,6 +177,15 @@ def search(
     base = index.merged_path if use_merged else index.segments_path
     postings = spark.read.parquet(base).where(F.col("term").isin(terms))
     group_col = "seg_id"
+    # One kernel task ≈ one segment: with the default 2x-cores shuffle
+    # partitions, many segments hash into few coarse tasks and the stage
+    # inherits multinomial imbalance (measured: ~0.7 scaling efficiency at
+    # 128 segments / 16 partitions). An explicit hash repartition on the
+    # group key at ~segment granularity satisfies the groupBy's required
+    # distribution (no second exchange) and AQE honors the explicit count.
+    par = spark.sparkContext.defaultParallelism
+    n_part = min(max(index.n_segments, 2 * par), 4096)
+    postings = postings.repartition(n_part, group_col)
 
     avgdl = index.avgdl
     bc_weights = spark.sparkContext.broadcast(weights)
@@ -361,6 +370,10 @@ def search_min_score(
         )
     base = index.merged_path if use_merged else index.segments_path
     postings = spark.read.parquet(base).where(F.col("term").isin(terms))
+    # Same per-segment task granularity as search() (see comment there).
+    par = spark.sparkContext.defaultParallelism
+    n_part = min(max(index.n_segments, 2 * par), 4096)
+    postings = postings.repartition(n_part, "seg_id")
 
     avgdl = index.avgdl
     bc_weights = spark.sparkContext.broadcast(weights)

@@ -133,3 +133,50 @@ def test_expand_hits_to_conversations(spark, small_corpus_pdf, radial_built):
     assert len(expanded) == len(want_rows)
     # Every conversation comes back complete (10 turns each).
     assert (expanded.groupby("conv_id").size() == 10).all()
+
+
+def test_tie_epsilon_boundary_exact_round6_topk(spark, tmp_path):
+    """Many docs round-6-tie at the k-th boundary: the tie_epsilon path must
+    return a candidate superset large enough that re-ranking on rounded
+    scores with doc_id tie-break matches the oracle exactly. (A fixed +N
+    raw-rank over-fetch fails this once more than N docs tie.)"""
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from opensearch_jvector_plugin_spark.operators.query import search
+
+    # 60 identical docs (exact score ties) + 40 distinct ones.
+    rows = []
+    for i in range(60):
+        rows.append((f"conv{i:08d}", 0, "user", "alpha beta gamma", None)) 
+    for i in range(60, 100):
+        rows.append((f"conv{i:08d}", 0, "user",
+                     "alpha " + " ".join(f"fill{j}" for j in range(i % 7)),
+                     None))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                      "tool"])
+    pdf["ts"] = pd.Timestamp("2024-01-01")
+    pdf["doc_id"] = range(100)
+    d = str(tmp_path / "ties")
+    build_index(spark.createDataFrame(pdf).repartition(4), d, seg_size=25)
+
+    queries = pd.DataFrame([(0, "alpha beta", 5)],
+                           columns=["query_id", "query_text", "k"])
+    res = search(spark, load_index(d), queries, tie_epsilon=1e-6)
+    s6 = F.round(F.col("score"), 6)
+    w = W.partitionBy("query_id").orderBy(s6.desc(), F.asc("doc_id"))
+    got = (
+        res.select("query_id", "doc_id", "score")
+        .withColumn("r", F.row_number().over(w).cast("int"))
+        .where(F.col("r") <= 5)
+        .select("query_id", F.col("r").alias("rank"), "doc_id",
+                s6.alias("score"))
+        .toPandas()
+    )
+    oracle = build_oracle_index(pdf)
+    want = oracle_topk(oracle, queries)
+    # The 60 tied docs out-score the fillers; round-6 top-5 must be
+    # doc_ids 0..4 exactly (lowest ids among the tie group).
+    assert got["doc_id"].tolist() == want["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert_rank_identical(got, want)
