@@ -51,7 +51,9 @@ def oracle_sql() -> dict[str, str]:
     for d in sorted(sf_dirs):
         p = os.path.join(d, "embeddings.parquet")
         if os.path.exists(p):
-            export_centroids_twin(
-                p, ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS
-            )
+            for metric in ("cosine", "l2"):
+                export_centroids_twin(
+                    p, ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS,
+                    metric=metric,
+                )
     return dict(ORACLES)

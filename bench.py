@@ -122,7 +122,7 @@ def main() -> None:
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         vdir = os.path.join(work_dir, "vindex")
         t0 = time.monotonic()
-        build_vector_index(emb, vdir, n_centroids=16)
+        build_vector_index(emb, vdir, n_centroids=16, pq_m=8)
         timings["vector_index_build"] = round(time.monotonic() - t0, 3)
         vidx = load_vector_index(vdir)
         vq = (
@@ -136,6 +136,11 @@ def main() -> None:
         t0 = time.monotonic()
         ivf_search(spark, vidx, vq, k=10, nprobe=4, over_query=5).count()
         timings["ivf_query_quantized"] = round(time.monotonic() - t0, 3)
+        # Codec 2: PQ ADC first pass (m bytes/vector instead of dim+16).
+        t0 = time.monotonic()
+        ivf_search(spark, vidx, vq, k=10, nprobe=4, over_query=5,
+                   codec="pq").count()
+        timings["ivf_query_pq"] = round(time.monotonic() - t0, 3)
 
         # --- 3. registry queries at the sf dir ---
         skip = {"dedup_ngram"} if sf > 0.011 else set()

@@ -285,6 +285,20 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        threshold=COSINE_NEARDUP_T)
 
 
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract (and same oracle) as dedup_embedding, served through
+    the trained IVF index: triangle-pruned bucket pairs -> int8 ADC with a
+    rigorous error bound -> fold-exact rescore of surviving candidates
+    only. The scale path for high thresholds: the all-pairs pass reads
+    quantized bytes, full precision is read per-candidate."""
+    from .operators.vector_index import load_vector_index
+
+    idx = load_vector_index(_vector_index_for(spark, sf_dir))
+    return dd.embedding_near_dup_pairs_bucketed(
+        spark, idx, threshold=COSINE_NEARDUP_T
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.doc_fingerprint(_docs(spark, sf_dir))
 
@@ -328,27 +342,41 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=ANN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
 
 
-_VIDX_CACHE: dict[str, str] = {}
-IVF_TRAINED_NPROBE = 4
+_VIDX_CACHE: dict[tuple[str, str], str] = {}
+# Bench-default serving config, tuned round 3 for the reference's recall
+# contract (KNNJVectorTests.java:612-613 asserts ~1.0 +- 0.05 on the
+# quantized path; we gate >= 0.9): dual assignment (boundary vectors sit in
+# their 2 nearest buckets) + 6/16 probes. Measured recall@10 vs brute force
+# = 0.92 at sf0.001/sf0.01/sf0.1 (BENCH.md round 3; replicas=1 nprobe=4 was
+# 0.70). Read cost: 6/16 of a 2x-replicated store = 0.75x the corpus bytes
+# per query — the honest price of 0.9+ recall on this weakly-clustered
+# synthetic corpus; real clustered embeddings need far fewer probes.
+IVF_TRAINED_NPROBE = 6
+IVF_REPLICAS = 2
 ORACLE_CENTROIDS_DIR = os.path.join(
-    tempfile.gettempdir(), "ojs_ivf_centroids_v1"
+    tempfile.gettempdir(), "ojs_ivf_centroids_v2"
 )
 
 
-def _vector_index_for(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per process) the trained, persisted IVF index over the
-    sf's embeddings; export the centroid twin for the DuckDB oracle."""
+def _vector_index_for(
+    spark: SparkSession, sf_dir: str, metric: str = "cosine"
+) -> str:
+    """Build (once per process per metric) the trained, persisted IVF index
+    over the sf's embeddings; export the content-digest-keyed centroid twin
+    for the DuckDB oracle."""
     from .operators.vector_index import build_vector_index, export_centroids_twin
 
     export_centroids_twin(
         os.path.join(sf_dir, "embeddings.parquet"),
-        ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS,
+        ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS, metric=metric,
     )
-    if sf_dir not in _VIDX_CACHE:
+    key = (sf_dir, metric)
+    if key not in _VIDX_CACHE:
         d = tempfile.mkdtemp(prefix="ojs_vidx_")
-        build_vector_index(_emb(spark, sf_dir), d, n_centroids=IVF_CENTROIDS)
-        _VIDX_CACHE[sf_dir] = d
-    return _VIDX_CACHE[sf_dir]
+        build_vector_index(_emb(spark, sf_dir), d, n_centroids=IVF_CENTROIDS,
+                           metric=metric, n_replicas=IVF_REPLICAS)
+        _VIDX_CACHE[key] = d
+    return _VIDX_CACHE[key]
 
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +387,20 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.vector_index import ivf_search_exact, load_vector_index
 
     idx = load_vector_index(_vector_index_for(spark, sf_dir))
+    return ivf_search_exact(
+        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        nprobe=IVF_TRAINED_NPROBE,
+    )
+
+
+def q_ann_ivf_trained_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF index under the l2 space (the reference's per-field
+    space registry, SpaceType.java:43-161): Lloyd mean-centroid training,
+    nearest-centroid assignment/probing by squared euclidean, ascending
+    round-6 rank."""
+    from .operators.vector_index import ivf_search_exact, load_vector_index
+
+    idx = load_vector_index(_vector_index_for(spark, sf_dir, metric="l2"))
     return ivf_search_exact(
         spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
         nprobe=IVF_TRAINED_NPROBE,
@@ -1089,11 +1131,38 @@ def _transcript_sql() -> str:
 
 SQL_TRANSCRIPT_BM25 = _transcript_sql()
 
-SQL_ANN_IVF_TRAINED = f"""
+def _ivf_trained_sql(
+    metric: str,
+    nprobe: int = IVF_TRAINED_NPROBE,
+    replicas: int = IVF_REPLICAS,
+    cand_filter: str = "",
+) -> str:
+    """Oracle for the trained+persisted IVF index, parameterized by space.
+
+    The cents CTE selects the exported centroid twin by CONTENT DIGEST of
+    the embeddings table (DIGEST_SQL_EMBEDDINGS == corpus_digest, verified
+    bit-identical) plus metric and centroid count — never by row count, so
+    equal-size corpora (sf0.001 vs sf0.01, both 500 rows) cannot collide.
+    Assignment and probing order by the UNROUNDED left-fold metric (the
+    Spark build computes the same values bit-identically via the fold-exact
+    numpy kernels), ties to the lowest centroid_id; only the final rank
+    rounds to 6dp, the cross-engine output contract."""
+    from .operators.vector_index import DIGEST_SQL_EMBEDDINGS
+
+    if metric == "cosine":
+        dist, order, out = _COS, "DESC", "cosine"
+    elif metric == "l2":
+        dist, order, out = _L2SQ, "ASC", "distance"
+    elif metric == "innerproduct":
+        dist, order, out = _IP, "DESC", "distance"
+    else:
+        raise ValueError(f"unknown IVF metric {metric!r}")
+    return f"""
 WITH cents AS (
   SELECT centroid_id::INT AS centroid_id, cvec::DOUBLE[] AS cvec
   FROM read_parquet('{ORACLE_CENTROIDS_DIR}/*.parquet')
-  WHERE n_vecs = (SELECT count(*) FROM embeddings)
+  WHERE digest = {DIGEST_SQL_EMBEDDINGS}
+    AND metric = '{metric}' AND k_centroids = {IVF_CENTROIDS}
 ),
 e AS (
   SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1103,11 +1172,11 @@ assign AS (
     SELECT e.vec_id, c.centroid_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY round({_COS.format(a="e.v", b="c.cvec")}, 6) DESC,
+             ORDER BY {dist.format(a="e.v", b="c.cvec")} {order},
                       c.centroid_id ASC
            ) AS rn
     FROM e CROSS JOIN cents c
-  ) WHERE rn = 1
+  ) WHERE rn <= {replicas}
 ),
 q AS (
   SELECT vec_id::INT AS query_id, embedding::DOUBLE[] AS qv
@@ -1118,42 +1187,42 @@ probes AS (
     SELECT q.query_id, c.centroid_id,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY round({_COS.format(a="q.qv", b="c.cvec")}, 6) DESC,
+             ORDER BY {dist.format(a="q.qv", b="c.cvec")} {order},
                       c.centroid_id ASC
            ) AS rn
     FROM q CROSS JOIN cents c
-  ) WHERE rn <= {IVF_TRAINED_NPROBE}
+  ) WHERE rn <= {nprobe}
 ),
 cand AS (
-  SELECT p.query_id, a.vec_id
+  SELECT DISTINCT p.query_id, a.vec_id
   FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+  {cand_filter}
 ),
 scored AS (
-  SELECT c.query_id, c.vec_id, {_COS.format(a="e.v", b="q.qv")} AS cosine
+  SELECT c.query_id, c.vec_id, {dist.format(a="e.v", b="q.qv")} AS m
   FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN q ON c.query_id = q.query_id
 ),
 ranked AS (
-  SELECT query_id, vec_id, cosine,
+  SELECT query_id, vec_id, m,
          row_number() OVER (
-           PARTITION BY query_id ORDER BY round(cosine, 6) DESC, vec_id ASC
+           PARTITION BY query_id ORDER BY round(m, 6) {order}, vec_id ASC
          ) AS rank
   FROM scored
 )
-SELECT query_id, rank::INT AS rank, vec_id, round(cosine, 6) AS cosine
+SELECT query_id, rank::INT AS rank, vec_id, round(m, 6) AS {out}
 FROM ranked WHERE rank <= {ANN_K}
 """
 
-def _ivf_filtered_sql() -> str:
-    base = SQL_ANN_IVF_TRAINED
-    # Same pipeline, with the pre-filter applied to candidates (before the
-    # rank cut), mirroring acceptDocs semantics.
-    return base.replace(
-        "cand AS (\n  SELECT p.query_id, a.vec_id\n  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id\n),",
-        "cand AS (\n  SELECT p.query_id, a.vec_id\n  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id\n  WHERE a.vec_id IN (SELECT vec_id::BIGINT FROM embeddings WHERE label % 2 = 0)\n),",
-    )
 
-
-SQL_ANN_IVF_FILTERED = _ivf_filtered_sql()
+SQL_ANN_IVF_TRAINED = _ivf_trained_sql("cosine")
+SQL_ANN_IVF_TRAINED_L2 = _ivf_trained_sql("l2")
+SQL_ANN_IVF_FILTERED = _ivf_trained_sql(
+    "cosine",
+    cand_filter=(
+        "WHERE a.vec_id IN "
+        "(SELECT vec_id::BIGINT FROM embeddings WHERE label % 2 = 0)"
+    ),
+)
 assert "label % 2 = 0" in SQL_ANN_IVF_FILTERED
 
 SQL_TOPK_PER_GROUP = """
@@ -1224,6 +1293,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
     "fingerprint": q_fingerprint,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
@@ -1233,6 +1303,7 @@ QUERIES = {
     "ann_bruteforce_ip": q_ann_bruteforce_ip,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
+    "ann_ivf_trained_l2": q_ann_ivf_trained_l2,
     "ann_ivf_filtered": q_ann_ivf_filtered,
     "transcript_bm25_indexed": q_transcript_bm25_indexed,
     "topk_per_group": q_topk_per_group,
@@ -1257,6 +1328,7 @@ ORACLES = {
     "dedup_simhash": SQL_SIMHASH,
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_bucketed": SQL_DEDUP_EMBEDDING,
     "fingerprint": SQL_FINGERPRINT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY,
@@ -1266,6 +1338,7 @@ ORACLES = {
     "ann_bruteforce_ip": SQL_ANN_BRUTEFORCE_IP,
     "ann_ivf": SQL_ANN_IVF,
     "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
+    "ann_ivf_trained_l2": SQL_ANN_IVF_TRAINED_L2,
     "ann_ivf_filtered": SQL_ANN_IVF_FILTERED,
     "transcript_bm25_indexed": SQL_TRANSCRIPT_BM25,
     "topk_per_group": SQL_TOPK_PER_GROUP,

@@ -1,7 +1,9 @@
 """Replay the driver's correctness gate locally: for every queries() entry,
 run the Spark DataFrame and the DuckDB oracle SQL on the same parquet tables
 and require identical row count, column names, and (order-insensitive)
-values — at sf0.001 for speed."""
+values — at BOTH sf0.001 and sf0.01 (the driver's gate runs at sf0.01; the
+round-2 escape happened because an oracle fixture was keyed by a property
+the two sfs share, so a single-sf replay could not catch it)."""
 
 from __future__ import annotations
 
@@ -14,18 +16,30 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = os.environ.get("OJS_TEST_SF_DIR", "/root/testdata/sf0.001")
+_ENV_SF = os.environ.get("OJS_TEST_SF_DIR")
+SF_DIRS = list(dict.fromkeys(
+    [_ENV_SF] if _ENV_SF
+    else ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+))
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
+@pytest.fixture(
+    scope="module", params=SF_DIRS,
+    ids=[d.rstrip("/").rsplit("/", 1)[-1] for d in SF_DIRS],
+)
+def sf_dir(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def ddb():
+def ddb(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
-        p = os.path.join(SF_DIR, f"{t}.parquet")
+        p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
@@ -47,10 +61,10 @@ ALL = sorted(entry_mod.queries().keys())
 
 
 @pytest.mark.parametrize("name", ALL)
-def test_query_matches_oracle(name, spark, ddb):
+def test_query_matches_oracle(name, sf_dir, spark, ddb):
     qfn = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
-    got = normalize(qfn(spark, SF_DIR).toPandas())
+    got = normalize(qfn(spark, sf_dir).toPandas())
     if sql is None:
         # Rows-only contract (non-harness-table inputs, e.g. the synthesized
         # transcript corpus); rank-identity is covered in dedicated tests.
