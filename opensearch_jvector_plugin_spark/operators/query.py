@@ -141,6 +141,34 @@ def _query_weights(
     return weights, ks, present_terms
 
 
+def _segment_granularity(
+    spark: SparkSession, postings: DataFrame, index: IndexHandle,
+    group_col: str,
+) -> DataFrame:
+    """Set the query-kernel stage's task granularity to ~one segment — but
+    only when the index actually has more segments than the default shuffle
+    layout can spread.
+
+    Measured history (BENCH.md): with the default 2x-cores shuffle
+    partitions, MANY segments (128) hash into few coarse tasks and the
+    stage inherits multinomial imbalance (~0.63-0.68 scaling efficiency);
+    an explicit hash repartition at segment count fixed that (0.92-0.99,
+    363 QPS at local[8]). But unconditionally raising the count to
+    2x-parallelism regressed the FEW-segment case ~9% at local[32]
+    (BENCH_r02 query_qps 82.2 -> 74.7, an 8-segment index shattered into 64
+    mostly-empty tasks and pinned past AQE coalescing). Parallelism on a
+    few-segment index is capped at n_segments either way (one group = one
+    kernel task), so the repartition only pays when n_segments is large
+    relative to the parallelism — exactly the regime where it was measured
+    to matter. The explicit repartition satisfies the groupBy's required
+    distribution (no second exchange) and AQE honors the explicit count."""
+    par = spark.sparkContext.defaultParallelism
+    n_part = min(index.n_segments, 4096)
+    if n_part >= 2 * par:
+        return postings.repartition(n_part, group_col)
+    return postings
+
+
 def search(
     spark: SparkSession,
     index: IndexHandle,
@@ -177,15 +205,7 @@ def search(
     base = index.merged_path if use_merged else index.segments_path
     postings = spark.read.parquet(base).where(F.col("term").isin(terms))
     group_col = "seg_id"
-    # One kernel task ≈ one segment: with the default 2x-cores shuffle
-    # partitions, many segments hash into few coarse tasks and the stage
-    # inherits multinomial imbalance (measured: ~0.7 scaling efficiency at
-    # 128 segments / 16 partitions). An explicit hash repartition on the
-    # group key at ~segment granularity satisfies the groupBy's required
-    # distribution (no second exchange) and AQE honors the explicit count.
-    par = spark.sparkContext.defaultParallelism
-    n_part = min(max(index.n_segments, 2 * par), 4096)
-    postings = postings.repartition(n_part, group_col)
+    postings = _segment_granularity(spark, postings, index, group_col)
 
     avgdl = index.avgdl
     bc_weights = spark.sparkContext.broadcast(weights)
@@ -370,10 +390,8 @@ def search_min_score(
         )
     base = index.merged_path if use_merged else index.segments_path
     postings = spark.read.parquet(base).where(F.col("term").isin(terms))
-    # Same per-segment task granularity as search() (see comment there).
-    par = spark.sparkContext.defaultParallelism
-    n_part = min(max(index.n_segments, 2 * par), 4096)
-    postings = postings.repartition(n_part, "seg_id")
+    # Same per-segment task granularity as search() (_segment_granularity).
+    postings = _segment_granularity(spark, postings, index, "seg_id")
 
     avgdl = index.avgdl
     bc_weights = spark.sparkContext.broadcast(weights)
