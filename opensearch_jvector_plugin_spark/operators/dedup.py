@@ -152,12 +152,18 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, mh_0 .. mh_{H-1}) — min over shingles of affine hashes of
-    the portable 60-bit shingle hash. Docs with < n tokens get no row."""
-    sh = doc_shingles(df, n, text_col, id_col).withColumn(
-        "h", term_hash_col(F.col("shingle"))
-    )
+    the portable 60-bit shingle hash. Docs with < n tokens get no row.
+    `shingles`: optional precomputed doc_shingles() frame (callers that
+    also need the shingles for verification pass a persisted one so the
+    tokenize+explode+distinct subtree runs once)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, n, text_col, id_col)
+    ).withColumn("h", term_hash_col(F.col("shingle")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_PRIME))
         .cast("long")
@@ -181,8 +187,18 @@ def minhash_lsh_pairs(
     (doc_a, doc_b, jaccard >= threshold). Deterministic: fixed coefficients,
     fixed banding — the SQL oracle replicates the full pipeline, so results
     match exactly even though LSH recall < 1 vs ground truth.
+
+    The (doc_id, shingle) frame feeds FOUR consumers (signatures, both
+    sides of the verification intersection join, sizes), so it is computed
+    once and persisted — without it Spark re-runs the tokenize + explode +
+    distinct subtree per consumer (measured ~25% of the query's wall time
+    at sf0.1, BENCH.md round 3). The persisted handle rides the returned
+    DataFrame as `_ojs_persisted` (the score_all convention) so callers can
+    unpersist after consumption.
     """
-    sig = minhash_signatures(df, n, text_col, id_col, num_hashes)
+    sh = doc_shingles(df, n, text_col, id_col).persist()
+    sig = minhash_signatures(df, n, text_col, id_col, num_hashes,
+                             shingles=sh)
     n_bands = num_hashes // band_rows
     bands = []
     for bidx in range(n_bands):
@@ -216,7 +232,7 @@ def minhash_lsh_pairs(
     )
     # Exact-Jaccard verification restricted to the CANDIDATE pairs only —
     # never the full pair space (that is the whole point of the banding).
-    sh = doc_shingles(df, n, text_col, id_col)
+    # Reuses the persisted shingle frame from the signature stage.
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("sh_b"))
@@ -242,6 +258,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    out._ojs_persisted = sh
     return out
 
 
@@ -389,6 +406,19 @@ def embedding_near_dup_pairs(
     src = emb.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
     )
+    master = spark.sparkContext.master or ""
+    if work_dir is None and not master.startswith("local"):
+        # The default block store is a DRIVER-LOCAL tempdir; executors on a
+        # real cluster cannot read it back. Same contract as the segment
+        # index's index_dir: the caller must provide shared storage.
+        raise ValueError(
+            "embedding_near_dup_pairs on a non-local master "
+            f"({master!r}) requires work_dir on shared storage "
+            "(the driver-local tempdir default only works in local mode). "
+            "Note: the block store under work_dir (~N*dim*8 bytes) is NOT "
+            "auto-deleted — the returned DataFrame reads it lazily; clean "
+            "it up after consuming the result."
+        )
     n = src.count()
     if n == 0:
         return spark.createDataFrame([], "doc_a LONG, doc_b LONG, cosine DOUBLE")
@@ -484,3 +514,190 @@ def embedding_near_dup_pairs(
     return pairs_df.mapInPandas(
         gemm_pairs, "doc_a LONG, doc_b LONG, cosine DOUBLE"
     )
+
+
+def embedding_near_dup_pairs_bucketed(
+    spark,
+    index,
+    threshold: float = 0.8,
+    chunk: int = 2048,
+    angle_slack: float = 1e-9,
+) -> DataFrame:
+    """Exact cosine near-dup pairs routed through a trained IVF index —
+    the high-threshold scale path that cuts both the O(B^2) read
+    amplification AND the bytes-per-read of embedding_near_dup_pairs.
+
+    Three exact stages, each provably unable to drop a qualifying pair:
+
+    1. **Triangle-inequality bucket-pair pruning.** A pair (a in bucket i,
+       b in bucket j) with cos(a,b) >= t satisfies
+       angle(c_i, c_j) <= angle(c_i, a) + angle(a, b) + angle(b, c_j)
+                       <= r_i + arccos(t) + r_j,
+       where r_i is bucket i's angular radius (max member angle to its
+       centroid, one aggregation pass). Bucket pairs violating the bound
+       (plus a float slack, which only ADDS candidates) are never read.
+       Bites on clustered corpora (small radii) — the actual near-dup
+       use case.
+    2. **int8 ADC with a rigorous error bound.** Surviving bucket pairs
+       are scored from the QUANTIZED columns only (qvec/qscale/qnorm,
+       ~(dim+16) bytes/vector vs 4*dim + codec overhead for the floats).
+       With a = a_hat + e, |e_k| <= scale/2 per component (round-to-nearest,
+       no clipping: scale = maxabs/127), Cauchy-Schwarz gives
+         dot(a,b) <= dot(a_hat,b_hat) + |a_hat|E_b + E_a|b_hat| + E_aE_b,
+         |a| >= |a_hat| - E_a,   E_x = scale_x * sqrt(d) / 2,
+       so ub = (dot_hat + delta) / ((qn_a - E_a)(qn_b - E_b)) is a true
+       upper bound on cos(a,b); only pairs with ub >= t survive. Bites at
+       high thresholds regardless of clustering.
+    3. **Fold-exact rescore of candidates only**: the surviving (a, b)
+       pairs join back to full precision and are scored with the left-fold
+       Catalyst cosine (bit-identical to the DuckDB oracle), so even
+       threshold-boundary pairs resolve identically.
+
+    `index`: a VectorIndexHandle with metric="cosine". Only replica_rank=0
+    rows are read, so replicated indexes don't duplicate pairs.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    if index.metric != "cosine":
+        raise ValueError("bucketed near-dup requires a cosine IVF index")
+    if not threshold > 0:
+        # The ADC upper bound divides by the SHRUNK norms, which is only a
+        # valid upper bound when the numerator is positive; pairs with a
+        # negative numerator have cosine < 0 and are safely pruned only for
+        # positive thresholds.
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    cents = index.centroids
+    k = len(cents)
+    cent_pdf = pd.DataFrame(
+        {
+            "centroid_id": np.arange(k, dtype=np.int32),
+            "cvec": [c.tolist() for c in cents],
+        }
+    )
+    buckets_path = index.buckets_path
+    primary = (
+        spark.read.parquet(buckets_path)
+        .where(F.col("replica_rank") == 0)
+        .select("centroid_id", F.col("embedding").alias("v"))
+    )
+    cdf = spark.createDataFrame(cent_pdf)
+    stats = (
+        primary.join(F.broadcast(cdf), "centroid_id")
+        .select(
+            "centroid_id",
+            cosine_col(F.col("v"), F.col("cvec")).alias("c"),
+        )
+        .groupBy("centroid_id")
+        .agg(F.min("c").alias("min_cos"), F.count("*").alias("n"))
+        .collect()
+    )
+    radius = {
+        int(r["centroid_id"]): float(
+            np.arccos(np.clip(r["min_cos"], -1.0, 1.0))
+        )
+        for r in stats
+    }
+    occupied = sorted(radius)
+
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1), 1e-30
+    )[:, None]
+    theta = np.arccos(np.clip(cn @ cn.T, -1.0, 1.0))
+    t_angle = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    pairs = [
+        (i, j)
+        for ai, i in enumerate(occupied)
+        for j in occupied[ai:]
+        if theta[i, j] <= t_angle + radius[i] + radius[j] + angle_slack
+    ]
+    total_pairs = len(occupied) * (len(occupied) + 1) // 2
+    if not pairs:
+        return spark.createDataFrame(
+            [], "doc_a LONG, doc_b LONG, cosine DOUBLE"
+        )
+    par = spark.sparkContext.defaultParallelism
+    pairs_df = spark.createDataFrame(pairs, "i INT, j INT").repartition(
+        min(len(pairs), par * 2)
+    )
+    # Surfaced for BENCH bytes-read accounting.
+    pairs_df._ojs_bucket_pairs = (len(pairs), total_pairs)
+
+    def _load_bucket_q(cid: int):
+        t = pq.read_table(
+            buckets_path,
+            filters=[("centroid_id", "=", int(cid)),
+                     ("replica_rank", "=", 0)],
+            columns=["vec_id", "qvec", "qscale", "qnorm"],
+        )
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        raw = t["qvec"].to_pylist()
+        if not raw:
+            return ids, None, None, None
+        qm = np.frombuffer(b"".join(raw), dtype=np.int8).reshape(
+            len(ids), -1
+        ).astype(np.float64)
+        scale = t["qscale"].to_numpy().astype(np.float64)
+        qn = t["qnorm"].to_numpy().astype(np.float64)
+        o = np.argsort(ids)
+        return ids[o], qm[o] * scale[o, None], scale[o], qn[o]
+
+    thr = float(threshold)
+
+    def adc_candidates(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia, ha, sa, na = _load_bucket_q(int(r.i))
+                if int(r.i) == int(r.j):
+                    ib, hb, sb, nb = ia, ha, sa, na
+                else:
+                    ib, hb, sb, nb = _load_bucket_q(int(r.j))
+                if ha is None or hb is None:
+                    continue
+                d = ha.shape[1]
+                ea = sa * (np.sqrt(d) / 2.0)
+                eb = sb * (np.sqrt(d) / 2.0)
+                dena = np.maximum(na - ea, 1e-30)
+                denb = np.maximum(nb - eb, 1e-30)
+                for s in range(0, len(ia), chunk):
+                    dot_hat = ha[s : s + chunk] @ hb.T
+                    delta = (
+                        na[s : s + chunk, None] * eb[None, :]
+                        + ea[s : s + chunk, None] * nb[None, :]
+                        + ea[s : s + chunk, None] * eb[None, :]
+                    )
+                    ub = (dot_hat + delta) / (
+                        dena[s : s + chunk, None] * denb[None, :]
+                    )
+                    keep = (ub >= thr) & (
+                        ia[s : s + chunk, None] != ib[None, :]
+                    )
+                    ra, cb = np.nonzero(keep)
+                    if len(ra):
+                        aa, bb = ia[s + ra], ib[cb]
+                        lo = np.minimum(aa, bb)
+                        hi = np.maximum(aa, bb)
+                        yield pd.DataFrame({"doc_a": lo, "doc_b": hi})
+
+    cand = (
+        pairs_df.mapInPandas(adc_candidates, "doc_a LONG, doc_b LONG")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Fold-exact rescore of candidates only: full precision is read just
+    # for the surviving pairs, via two joins against the primary rows.
+    vecs = (
+        spark.read.parquet(buckets_path)
+        .where(F.col("replica_rank") == 0)
+        .select("vec_id", F.col("embedding").alias("v"))
+    )
+    va = vecs.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("v_a"))
+    vb = vecs.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("v_b"))
+    out = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cosine") >= thr)
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+    )
+    out._ojs_bucket_pairs = (len(pairs), total_pairs)
+    return out

@@ -304,9 +304,15 @@ def encode_postings_rows(
     """Vectorized whole-group varint encode of term-grouped, docID-sorted
     posting rows -> the on-disk postings table (one row per term).
 
-    Shared by build (encode_segment) and merge (operators/merge.py), so a
-    merged segment is byte/CRC-identical to the same data built as one
-    segment. Inputs: `uniques[i]` is the term of group i; rows
+    Used by the build path (encode_segment). The merge path
+    (operators/merge.py) deliberately encodes per term via encode_postings
+    — whole-group decode/encode at merge shape was A/B-measured ~3.5x
+    SLOWER (BENCH.md: large concatenated lists thrash DRAM), so merge keeps
+    cache-resident per-term loops. The byte/CRC-identity contract between a
+    merged segment and a single-segment build therefore rests on the two
+    encoders producing identical bytes, which tests/test_merge* enforce
+    (test_merge_then_query_identity: CRC-identical output). Inputs:
+    `uniques[i]` is the term of group i; rows
     [t_starts[i], t_starts[i]+t_counts[i]) of p_doc/tfs/p_dl are its
     postings, docID-ascending. Returns (rows_df, seg_crc)."""
     n_terms = len(t_starts)

@@ -61,6 +61,87 @@ def test_single_block_degenerate(spark, tmp_path):
     pd.testing.assert_frame_equal(got, reference_pairs(), check_dtype=False)
 
 
+def _clustered_corpus(n_clusters=8, per=50, dim=32, seed=11):
+    """Tight angular clusters: the corpus shape real near-dup data has
+    (duplicates concentrate) and where the bucketed path's triangle
+    pruning must bite."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c][None, :] + 0.05 * rng.normal(size=(per, dim))
+        rows.append(pts)
+    mat = np.concatenate(rows).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    return ids, mat
+
+
+def test_bucketed_neardup_exact_and_pruned(spark, tmp_path):
+    """embedding_near_dup_pairs_bucketed must return EXACTLY the brute-force
+    pair set (triangle bound + ADC error bound are conservative), and on
+    clustered data must actually prune bucket pairs (the read-amplification
+    win it exists for)."""
+    from opensearch_jvector_plugin_spark.operators.dedup import (
+        embedding_near_dup_pairs_bucketed,
+    )
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        build_vector_index,
+        load_vector_index,
+    )
+
+    ids, mat = _clustered_corpus()
+    thr = 0.9
+    matn = mat.astype(np.float64)
+    matn /= np.linalg.norm(matn, axis=1)[:, None]
+    sims = matn @ matn.T
+    ia, ib = np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
+    want = (
+        pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert len(want) > 100  # clusters produce real near-dup mass
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [r.tolist() for r in mat]}),
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    d = str(tmp_path / "vidx")
+    build_vector_index(emb, d, n_centroids=8)
+    idx = load_vector_index(d)
+    out = embedding_near_dup_pairs_bucketed(spark, idx, threshold=thr)
+    kept, total = out._ojs_bucket_pairs
+    assert kept < total, (kept, total)  # triangle pruning bites
+    got = (
+        out.select("doc_a", "doc_b").toPandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucketed_neardup_matches_blockpair_on_harness_data(spark, tmp_path):
+    """On the harness embeddings at the bench threshold the bucketed path
+    must agree with the exact block-pair path pair-for-pair (same oracle —
+    the driver gate contract)."""
+    from opensearch_jvector_plugin_spark.operators.dedup import (
+        embedding_near_dup_pairs_bucketed,
+    )
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        build_vector_index,
+        load_vector_index,
+    )
+
+    emb = spark.read.parquet(EMB)
+    d = str(tmp_path / "vidx_h")
+    build_vector_index(emb, d, n_centroids=16)
+    idx = load_vector_index(d)
+    got = (
+        embedding_near_dup_pairs_bucketed(spark, idx, threshold=T)
+        .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, reference_pairs(), check_dtype=False)
+
+
 def test_no_driver_collect_of_embeddings(spark, tmp_path, monkeypatch):
     """The old implementation did src.toPandas() — a driver OOM beyond
     ~10^7 vectors. Ban toPandas for the whole operator invocation."""
