@@ -1,0 +1,98 @@
+"""Backward compatibility: the CURRENT reader must serve the FROZEN index
+fixture (bytes committed to git by scripts/make_bwc_fixture.py) with pinned
+results — the restart-upgrade discipline of the reference's
+qa/restart-upgrade and qa/rolling-upgrade suites.
+
+If this test fails after a codec/manifest change, either (a) the change
+broke reading of existing indexes — fix it, or (b) the format intentionally
+changed — bump CODEC_VERSION/FORMAT_VERSION, implement/justify the
+migration story, and re-freeze the fixture."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from opensearch_jvector_plugin_spark import FORMAT_VERSION
+from opensearch_jvector_plugin_spark.functions.tokenizer import (
+    TOKENIZER_VERSION,
+)
+from opensearch_jvector_plugin_spark.operators.codec import CODEC_VERSION
+from opensearch_jvector_plugin_spark.operators.query import load_index, search
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "bwc_index_v1")
+
+# Pinned at freeze time (scripts/make_bwc_fixture.py prints these).
+EXPECTED = [
+    (0, 1, 0, 2.290265),
+    (0, 2, 7, 2.290265),
+    (0, 3, 2, 1.799494),
+    (0, 4, 4, 1.574557),
+    (1, 1, 1, 2.963209),
+    (1, 2, 6, 1.481605),
+    (1, 3, 7, 1.481605),
+]
+BWC_QUERIES = [(0, "spark join", 5), (1, "posting merge", 5)]
+
+
+def test_fixture_versions_match_current_code():
+    """The frozen index declares the format it was written with; the
+    current code must still declare the same versions OR ship a migration
+    (in which case this assertion is updated alongside a re-freeze)."""
+    with open(os.path.join(FIXTURE, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["format_version"] == FORMAT_VERSION
+    assert stats["codec_version"] == CODEC_VERSION
+    assert stats["tokenizer_version"] == TOKENIZER_VERSION
+    for name in sorted(os.listdir(os.path.join(FIXTURE, "manifests"))):
+        with open(os.path.join(FIXTURE, "manifests", name)) as f:
+            m = json.load(f)
+        assert m["codec_version"] == CODEC_VERSION, name
+
+
+def test_current_reader_serves_frozen_index(spark):
+    """Query results over the frozen bytes must equal the values pinned at
+    freeze time — catches silent codec/scoring drift that a same-session
+    build-then-read test cannot."""
+    idx = load_index(FIXTURE)
+    assert idx.n_docs == 10 and idx.n_segments == 3
+    qpdf = pd.DataFrame(BWC_QUERIES, columns=["query_id", "query_text", "k"])
+    res = (
+        search(spark, idx, qpdf)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = [
+        (int(r.query_id), int(r.rank), int(r.doc_id), round(float(r.score), 6))
+        for r in res.itertuples(index=False)
+    ]
+    assert got == EXPECTED
+
+
+def test_frozen_index_survives_merge(spark, tmp_path):
+    """The current merge must also accept the frozen segments (upgrade
+    path: old index, new code, force-merge) and serve identical results."""
+    import shutil
+
+    from opensearch_jvector_plugin_spark.operators.merge import merge_segments
+
+    work = str(tmp_path / "bwc_copy")
+    shutil.copytree(FIXTURE, work)
+    merge_segments(spark, load_index(work))
+    idx = load_index(work)
+    qpdf = pd.DataFrame(BWC_QUERIES, columns=["query_id", "query_text", "k"])
+    res = (
+        search(spark, idx, qpdf, use_merged=True)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = [
+        (int(r.query_id), int(r.rank), int(r.doc_id), round(float(r.score), 6))
+        for r in res.itertuples(index=False)
+    ]
+    assert got == EXPECTED
