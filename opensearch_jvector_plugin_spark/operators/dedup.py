@@ -188,15 +188,15 @@ def minhash_lsh_pairs(
     fixed banding — the SQL oracle replicates the full pipeline, so results
     match exactly even though LSH recall < 1 vs ground truth.
 
-    The (doc_id, shingle) frame feeds FOUR consumers (signatures, both
-    sides of the verification intersection join, sizes), so it is computed
-    once and persisted — without it Spark re-runs the tokenize + explode +
-    distinct subtree per consumer (measured ~25% of the query's wall time
-    at sf0.1, BENCH.md round 3). The persisted handle rides the returned
-    DataFrame as `_ojs_persisted` (the score_all convention) so callers can
-    unpersist after consumption.
+    Plan-shape note (measured, BENCH.md round 3): the (doc_id, shingle)
+    frame feeds FOUR consumers (signatures, both sides of the verification
+    intersection join, sizes). Persisting it was A/B-measured ~1.7x SLOWER
+    at sf0.1/local[32] (min 19.3s vs 11.1s over 3 trials) — caching the
+    exploded distinct-shingle frame costs a materialization barrier plus
+    memory-store writes that exceed the recompute it saves, so the shared
+    subtree is deliberately left lazy.
     """
-    sh = doc_shingles(df, n, text_col, id_col).persist()
+    sh = doc_shingles(df, n, text_col, id_col)
     sig = minhash_signatures(df, n, text_col, id_col, num_hashes,
                              shingles=sh)
     n_bands = num_hashes // band_rows
@@ -232,7 +232,6 @@ def minhash_lsh_pairs(
     )
     # Exact-Jaccard verification restricted to the CANDIDATE pairs only —
     # never the full pair space (that is the whole point of the banding).
-    # Reuses the persisted shingle frame from the signature stage.
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("sh_b"))
@@ -258,7 +257,6 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    out._ojs_persisted = sh
     return out
 
 
