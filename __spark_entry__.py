@@ -51,7 +51,7 @@ def oracle_sql() -> dict[str, str]:
     for d in sorted(sf_dirs):
         p = os.path.join(d, "embeddings.parquet")
         if os.path.exists(p):
-            for metric in ("cosine", "l2"):
+            for metric in ("cosine", "l2", "innerproduct"):
                 export_centroids_twin(
                     p, ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS,
                     metric=metric,

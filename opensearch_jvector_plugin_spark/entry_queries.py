@@ -407,6 +407,37 @@ def q_ann_ivf_trained_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_trained_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF under the innerproduct space (SpaceType.INNER_PRODUCT,
+    SpaceType.java:118-160): spherical training (direction clustering),
+    assignment/probing by raw dot product, descending round-6 rank."""
+    from .operators.vector_index import ivf_search_exact, load_vector_index
+
+    idx = load_vector_index(
+        _vector_index_for(spark, sf_dir, metric="innerproduct")
+    )
+    return ivf_search_exact(
+        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        nprobe=IVF_TRAINED_NPROBE,
+    )
+
+
+ANN_RADIAL_MIN_SCORE = 0.3
+
+
+def q_ann_ivf_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial vector search over the trained index (the reference's
+    min_score mode routed to RNNQuery, KNNQueryBuilder.java:552-565):
+    every probed vector with cosine >= the threshold, ranked."""
+    from .operators.vector_index import ivf_search_radial, load_vector_index
+
+    idx = load_vector_index(_vector_index_for(spark, sf_dir))
+    return ivf_search_radial(
+        spark, idx, _ann_queries(spark, sf_dir),
+        min_score=ANN_RADIAL_MIN_SCORE, nprobe=IVF_TRAINED_NPROBE,
+    )
+
+
 def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search (the acceptDocs pre-filter of
     JVectorReader.java:128 / QueryUtils.createBits): only even-label
@@ -1216,6 +1247,31 @@ FROM ranked WHERE rank <= {ANN_K}
 
 SQL_ANN_IVF_TRAINED = _ivf_trained_sql("cosine")
 SQL_ANN_IVF_TRAINED_L2 = _ivf_trained_sql("l2")
+SQL_ANN_IVF_TRAINED_IP = _ivf_trained_sql("innerproduct")
+
+
+def _ivf_radial_sql(threshold: float) -> str:
+    """Radial twin of the trained-IVF oracle: same cents/assign/probes
+    CTEs (cosine space), but the final cut is metric >= threshold on the
+    UNROUNDED fold value (matching ivf_search_radial) instead of rank<=k."""
+    base = _ivf_trained_sql("cosine")
+    head, _, _ = base.rpartition("ranked AS (")
+    return (
+        head
+        + f"""ranked AS (
+  SELECT query_id, vec_id, m,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(m, 6) DESC, vec_id ASC
+         ) AS rank
+  FROM scored WHERE m >= {threshold!r}
+)
+SELECT query_id, rank::INT AS rank, vec_id, round(m, 6) AS cosine
+FROM ranked
+"""
+    )
+
+
+SQL_ANN_IVF_RADIAL = _ivf_radial_sql(ANN_RADIAL_MIN_SCORE)
 SQL_ANN_IVF_FILTERED = _ivf_trained_sql(
     "cosine",
     cand_filter=(
@@ -1304,6 +1360,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
     "ann_ivf_trained_l2": q_ann_ivf_trained_l2,
+    "ann_ivf_trained_ip": q_ann_ivf_trained_ip,
+    "ann_ivf_radial": q_ann_ivf_radial,
     "ann_ivf_filtered": q_ann_ivf_filtered,
     "transcript_bm25_indexed": q_transcript_bm25_indexed,
     "topk_per_group": q_topk_per_group,
@@ -1339,6 +1397,8 @@ ORACLES = {
     "ann_ivf": SQL_ANN_IVF,
     "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
     "ann_ivf_trained_l2": SQL_ANN_IVF_TRAINED_L2,
+    "ann_ivf_trained_ip": SQL_ANN_IVF_TRAINED_IP,
+    "ann_ivf_radial": SQL_ANN_IVF_RADIAL,
     "ann_ivf_filtered": SQL_ANN_IVF_FILTERED,
     "transcript_bm25_indexed": SQL_TRANSCRIPT_BM25,
     "topk_per_group": SQL_TOPK_PER_GROUP,

@@ -724,6 +724,81 @@ def ivf_search_exact(
     )
 
 
+def ivf_search_radial(
+    spark: SparkSession,
+    index: VectorIndexHandle,
+    queries: DataFrame,
+    min_score: float | None = None,
+    max_distance: float | None = None,
+    nprobe: int = 4,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Radial vector search — the reference's min_score / max_distance
+    query modes applied to the vector index (KNNQueryBuilder.java:241-258
+    exactly-one-of + :552-565 RNNQuery routing; the BM25 twin is
+    operators/query.py:search_radial).
+
+    Returns EVERY vector in the probed buckets whose exact fold-order
+    metric passes the threshold, ranked (round-6, vec_id tiebreak):
+    - min_score: for descending spaces (cosine, innerproduct) — keep
+      metric >= min_score;
+    - max_distance: for ascending spaces (l2) — keep metric <= max_distance.
+    Exactly one must be set, and it must match the index's space — the
+    same validation posture as the reference's builder."""
+    expr_fn, out_col, ascending = _metric_col(index.metric)
+    n_set = sum(x is not None for x in (min_score, max_distance))
+    if n_set != 1:
+        raise ValueError(
+            f"exactly one of min_score, max_distance must be set (got {n_set})"
+        )
+    if ascending and min_score is not None:
+        raise ValueError(
+            f"metric {index.metric!r} is distance-like; use max_distance"
+        )
+    if not ascending and max_distance is not None:
+        raise ValueError(
+            f"metric {index.metric!r} is score-like; use min_score"
+        )
+
+    qpdf = queries.toPandas()
+    probes = _probes(index, qpdf, nprobe)
+    probed_cids = sorted(set(int(c) for c in probes["centroid_id"]))
+    probes_df = spark.createDataFrame(probes)
+    q = spark.createDataFrame(qpdf[["query_id", "query_vec"]]).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("query_vec").alias("qv"),
+    )
+    bucket = (
+        spark.read.parquet(index.buckets_path)
+        .where(F.col("centroid_id").isin(probed_cids))
+        .select("vec_id", "centroid_id", F.col("embedding").alias("v"))
+    )
+    if allowed is not None:
+        bucket = bucket.join(
+            allowed.select(F.col("vec_id").cast("long").alias("vec_id")),
+            "vec_id", "left_semi",
+        )
+    cand = bucket.join(F.broadcast(probes_df), "centroid_id")
+    if index.n_replicas > 1:
+        cand = cand.dropDuplicates(["query_id", "vec_id"])
+    scored = cand.join(F.broadcast(q), "query_id").withColumn(
+        out_col, expr_fn(F.col("v"), F.col("qv"))
+    )
+    # The threshold cut uses the UNROUNDED fold-exact value (bit-identical
+    # to the oracle); only the emitted column and rank round to 6dp.
+    if ascending:
+        scored = scored.where(F.col(out_col) <= float(max_distance))
+    else:
+        scored = scored.where(F.col(out_col) >= float(min_score))
+    m6 = F.round(F.col(out_col), 6)
+    order = m6.asc() if ascending else m6.desc()
+    w = W.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("query_id", "rank", "vec_id", m6.alias(out_col))
+    )
+
+
 def ivf_search(
     spark: SparkSession,
     index: VectorIndexHandle,

@@ -313,6 +313,43 @@ def test_pq_codec_recall_and_bytes(spark, tmp_path):
         ivf_q(spark, load_vector_index(d2), q.toPandas(), k=10, codec="pq")
 
 
+def test_radial_vector_search_modes(spark, vidx, tmp_path):
+    """Radial vector search: exactly-one-of {min_score, max_distance},
+    mode must match the space, every returned row passes the threshold,
+    self-hits (cosine 1.0) always included."""
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        ivf_search_radial,
+    )
+
+    d, _ = vidx
+    idx = load_vector_index(d)
+    q = queries_df(spark)
+    res = ivf_search_radial(spark, idx, q, min_score=0.3,
+                            nprobe=4).toPandas()
+    assert (res["cosine"] >= 0.3 - 1e-9).all()
+    self_hits = res[res["vec_id"] == res["query_id"]]
+    assert len(self_hits) == 5 and (self_hits["rank"] == 1).all()
+    with pytest.raises(ValueError, match="exactly one"):
+        ivf_search_radial(spark, idx, q)
+    with pytest.raises(ValueError, match="exactly one"):
+        ivf_search_radial(spark, idx, q, min_score=0.3, max_distance=1.0)
+    with pytest.raises(ValueError, match="score-like"):
+        ivf_search_radial(spark, idx, q, max_distance=1.0)  # cosine index
+
+    # l2 index takes max_distance and rejects min_score.
+    emb = spark.read.parquet(EMB)
+    d2 = str(tmp_path / "vidx_l2r")
+    build_vector_index(emb, d2, n_centroids=16, metric="l2")
+    idx2 = load_vector_index(d2)
+    with pytest.raises(ValueError, match="distance-like"):
+        ivf_search_radial(spark, idx2, q, min_score=0.3)
+    res2 = ivf_search_radial(spark, idx2, q, max_distance=5.0,
+                             nprobe=4).toPandas()
+    assert (res2["distance"] <= 5.0 + 1e-9).all()
+    sh2 = res2[res2["vec_id"] == res2["query_id"]]
+    assert len(sh2) == 5 and np.allclose(sh2["distance"], 0.0)
+
+
 def test_probe_scan_is_partition_pruned(spark, vidx):
     d, _ = vidx
     idx = load_vector_index(d)
