@@ -527,6 +527,138 @@ def build_vector_index(
     return manifest
 
 
+def append_vectors(
+    emb: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append a batch of new vectors to an EXISTING IVF index.
+
+    The vector-side analog of the text engine's streaming segment append
+    (streaming/incremental.py): incremental data flows through the same
+    write path batch indexing uses, against the FROZEN trained state —
+    centroids (and PQ codebooks) are immutable after training, exactly like
+    the reference's per-segment quantization state served from
+    QuantizationStateCache. New vectors are assigned to their n_replicas
+    nearest frozen centroids, quantized with the same codecs, and appended
+    as new parquet files inside the existing centroid_id= partitions — a
+    probe's partition pruning is unchanged.
+
+    Exactly-once: `batch_id` is the commit marker (the micro-batch epoch
+    in streaming). A batch_id already recorded in the manifest is skipped
+    (foreachBatch retries re-deliver the same epoch), and Spark's job
+    commit protocol keeps a failed append's files out of the table.
+    Returns the updated manifest."""
+    spark = emb.sparkSession
+    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
+        manifest = json.load(f)
+    appends = manifest.setdefault("appends", [])
+    if any(int(a["batch_id"]) == int(batch_id) for a in appends):
+        return manifest
+
+    metric = manifest.get("metric", "cosine")
+    reps = int(manifest.get("n_replicas", 1))
+    pq_m = manifest.get("pq_m")
+    cent_pdf = pd.read_parquet(os.path.join(index_dir, "centroids.parquet"))
+    cents = np.asarray(
+        [np.asarray(c, dtype=np.float64) for c in cent_pdf["cvec"]]
+    )
+    books = None
+    if pq_m is not None:
+        books = load_vector_index(index_dir).pq_codebooks()
+
+    src = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    n_new = src.count()
+    if n_new == 0:
+        return manifest
+
+    bc_cents = spark.sparkContext.broadcast(cents)
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def assign_quant(batches):
+        cc = bc_cents.value
+        bb = bc_books.value
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(vecs) == 0:
+                continue
+            a = assign_topn(vecs, cc, metric, n=reps)
+            q, scale, qnorm = quantize_int8(vecs)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            qbytes = [r.tobytes() for r in q]
+            if bb is not None:
+                codes = pq_encode(vecs, bb, metric)
+                pbytes = [r.tobytes() for r in codes]
+            else:
+                pbytes = [None] * len(ids)
+            embs = list(pdf["embedding"])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.tile(ids, reps),
+                    "centroid_id": np.concatenate(
+                        [a[:, r] for r in range(reps)]
+                    ),
+                    "replica_rank": np.repeat(
+                        np.arange(reps, dtype=np.int32), len(ids)
+                    ),
+                    "embedding": embs * reps,
+                    "qvec": qbytes * reps,
+                    "qscale": np.tile(scale, reps),
+                    "qnorm": np.tile(qnorm, reps),
+                    "pqcode": pbytes * reps,
+                }
+            )
+
+    src.mapInPandas(assign_quant, _BUCKET_SCHEMA).write.partitionBy(
+        "centroid_id"
+    ).mode("append").parquet(os.path.join(index_dir, "buckets"))
+
+    manifest["n_vecs"] = int(manifest["n_vecs"]) + int(n_new)
+    appends.append({"batch_id": int(batch_id), "n_vecs": int(n_new)})
+    tmpm = os.path.join(index_dir, "ivf_manifest.json.tmp")
+    with open(tmpm, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmpm, os.path.join(index_dir, "ivf_manifest.json"))
+    return manifest
+
+
+def start_vector_index_stream(
+    spark: SparkSession,
+    input_path: str,
+    index_dir: str,
+    schema,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
+    """Structured-Streaming ingestion into an existing vector index: every
+    new parquet file of (vec_id, embedding) under input_path is appended
+    via append_vectors with the micro-batch epoch as the idempotence key
+    (the same foreachBatch + commit-marker discipline as the text stream,
+    streaming/incremental.py)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        append_vectors(batch_df, index_dir, batch_id=int(epoch_id))
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def export_centroids_twin(
     emb_parquet: str,
     out_dir: str,
@@ -807,9 +939,16 @@ def ivf_search(
     nprobe: int = 4,
     over_query: int = DEFAULT_OVER_QUERY,
     codec: str = "sq",
+    allowed_ids: np.ndarray | None = None,
 ) -> DataFrame:
     """Quantized-first-pass search: ADC over the probed buckets, over-fetch
     k * over_query candidates per query, exact rerank at full precision.
+
+    `allowed_ids`: optional int64 array of permitted vec_ids — acceptDocs
+    PRE-filter semantics inside the ADC kernel (the text kernel's
+    broadcast-sorted-array + searchsorted shape, operators/wand.py): the
+    mask applies BEFORE the per-bucket over-fetch cut, so a filtered query
+    still fills k from allowed matches.
     The JVectorReader.java:118-129 over-query + rerankerFor shape. Supports
     all IVF metrics.
 
@@ -848,15 +987,35 @@ def ivf_search(
         luts = np.stack([pq_lut(qmat[i], books, metric) for i in
                          range(len(qmat))])
 
+    allowed_sorted = (
+        np.sort(np.asarray(allowed_ids, dtype=np.int64))
+        if allowed_ids is not None
+        else None
+    )
     bc = spark.sparkContext.broadcast(
-        (qids, qn, qmat, probe_sets, dim, fetch, metric, codec, luts)
+        (qids, qn, qmat, probe_sets, dim, fetch, metric, codec, luts,
+         allowed_sorted)
     )
 
     def adc(pdf: pd.DataFrame) -> pd.DataFrame:
-        all_qids, qnv, qraw, psets, d, nf, met, cdc, lut_all = bc.value
+        all_qids, qnv, qraw, psets, d, nf, met, cdc, lut_all, allow = bc.value
         cid = int(pdf["centroid_id"].iloc[0])
         wanted = psets.get(cid)
         if not wanted:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int32),
+                 "vec_id": pd.Series([], dtype=np.int64),
+                 "approx": pd.Series([], dtype=np.float64)}
+            )
+        if allow is not None and len(pdf):
+            if len(allow) == 0:
+                pdf = pdf.iloc[:0]
+            else:
+                vid0 = pdf["vec_id"].to_numpy(np.int64)
+                pos = np.minimum(np.searchsorted(allow, vid0),
+                                 len(allow) - 1)
+                pdf = pdf[allow[pos] == vid0]
+        if not len(pdf):
             return pd.DataFrame(
                 {"query_id": pd.Series([], dtype=np.int32),
                  "vec_id": pd.Series([], dtype=np.int64),

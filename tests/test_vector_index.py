@@ -350,6 +350,109 @@ def test_radial_vector_search_modes(spark, vidx, tmp_path):
     assert len(sh2) == 5 and np.allclose(sh2["distance"], 0.0)
 
 
+def test_append_vectors_frozen_centroids(spark, tmp_path):
+    """Streaming-append contract: vectors appended to an existing index
+    are assigned against the FROZEN centroids, served identically to the
+    same corpus split differently, and batch_id retries are no-ops."""
+    from pyspark.sql import functions as F
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        append_vectors,
+    )
+
+    emb = spark.read.parquet(EMB)
+    half_a = emb.where(F.col("vec_id") < 250)
+    half_b = emb.where(F.col("vec_id") >= 250)
+
+    d = str(tmp_path / "vidx_app")
+    build_vector_index(half_a, d, n_centroids=16)
+    cents_frozen = load_vector_index(d).centroids.copy()
+    m1 = append_vectors(half_b, d, batch_id=0)
+    assert m1["n_vecs"] == 500
+    # Retry with the same batch_id: idempotent no-op.
+    m2 = append_vectors(half_b, d, batch_id=0)
+    assert m2["n_vecs"] == 500
+    idx = load_vector_index(d)
+    np.testing.assert_array_equal(idx.centroids, cents_frozen)
+    assert spark.read.parquet(idx.buckets_path).count() == 500
+
+    # Serving parity: search over the appended index equals a search over
+    # an index with the SAME frozen centroids covering all 500 vectors
+    # (assignment is a pure function of the frozen trained state).
+    res = ivf_search_exact(spark, idx, queries_df(spark), k=10,
+                           nprobe=16).toPandas()
+    brute = cosine_topk(emb, queries_df(spark), k=10).toPandas()
+    # nprobe=16 probes every bucket -> exact top-k, appended rows included.
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+
+
+def test_vector_index_stream_appends(spark, tmp_path):
+    """End-to-end Structured Streaming: new embedding files land, the
+    stream appends them to the index, a probe then serves them."""
+    from pyspark.sql import functions as F
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        start_vector_index_stream,
+    )
+
+    emb = spark.read.parquet(EMB)
+    d = str(tmp_path / "vidx_s")
+    build_vector_index(emb.where(F.col("vec_id") < 300), d, n_centroids=16)
+
+    inbox = str(tmp_path / "inbox")
+    emb.where(F.col("vec_id") >= 300).select(
+        "vec_id", "embedding"
+    ).repartition(2).write.mode("overwrite").parquet(inbox)
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    q = start_vector_index_stream(
+        spark, inbox, d, schema, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    idx = load_vector_index(d)
+    assert idx.manifest["n_vecs"] == 500
+    assert len(idx.manifest["appends"]) >= 1
+    res = ivf_search_exact(spark, idx, queries_df(spark), k=10,
+                           nprobe=16).toPandas()
+    # Full-probe search sees streamed vectors: brute-force parity.
+    brute = cosine_topk(emb, queries_df(spark), k=10).toPandas()
+    assert res.sort_values(["query_id", "rank"])["vec_id"].tolist() == \
+        brute.sort_values(["query_id", "rank"])["vec_id"].tolist()
+
+
+def test_quantized_filtered_search(spark, vidx):
+    """acceptDocs on the ADC path: every result is allowed, queries still
+    fill k, and results agree with the exact filtered path."""
+    from pyspark.sql import functions as F
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        ivf_search as ivf_q,
+    )
+
+    d, _ = vidx
+    idx = load_vector_index(d)
+    emb = spark.read.parquet(EMB)
+    allowed_df = emb.where(F.col("label") % 2 == 0).select("vec_id")
+    allowed = np.sort(
+        np.array([r[0] for r in allowed_df.collect()], dtype=np.int64)
+    )
+    q = queries_df(spark)
+    exact = ivf_search_exact(spark, idx, q, k=10, nprobe=4,
+                             allowed=allowed_df).toPandas()
+    quant = ivf_q(spark, idx, q.toPandas(), k=10, nprobe=4, over_query=5,
+                  allowed_ids=allowed).toPandas()
+    assert set(quant["vec_id"]).issubset(set(allowed))
+    assert (quant.groupby("query_id")["rank"].max() == 10).all()
+    hits = sum(
+        len(set(exact[exact.query_id == qi]["vec_id"])
+            & set(quant[quant.query_id == qi]["vec_id"]))
+        for qi in range(5)
+    )
+    assert hits / 50 >= 0.95, f"filtered quantized recall {hits / 50}"
+
+
 def test_probe_scan_is_partition_pruned(spark, vidx):
     d, _ = vidx
     idx = load_vector_index(d)
