@@ -629,6 +629,49 @@ def append_vectors(
     return manifest
 
 
+def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
+    """Rewrite the bucket table into one file per centroid partition — the
+    vector-side forceMerge (ForceMergesOnlyMergePolicy discipline: explicit
+    compaction only, no background magic). Streaming appends add one small
+    parquet file per micro-batch per touched partition; at scale the probe
+    cost becomes file-open-bound. One distributed pass reads the buckets,
+    re-partitions on centroid_id, and writes a fresh table; the swap is a
+    directory rename pair, and the manifest records the compaction so an
+    interrupted swap is detectable (buckets.new left behind = compaction
+    did not commit; buckets/ is always a complete table).
+
+    Results are bit-identical before/after: rows are unchanged, only file
+    layout changes (test_compact_preserves_results pins it)."""
+    import shutil
+
+    buckets = os.path.join(index_dir, "buckets")
+    new = os.path.join(index_dir, "buckets.new")
+    old = os.path.join(index_dir, "buckets.old")
+    shutil.rmtree(new, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    df = spark.read.parquet(buckets)
+    n_parts = df.select("centroid_id").distinct().count()
+    (
+        df.repartition(max(1, n_parts), "centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(new)
+    )
+    os.rename(buckets, old)
+    os.rename(new, buckets)
+    shutil.rmtree(old, ignore_errors=True)
+
+    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
+        manifest = json.load(f)
+    manifest["compactions"] = int(manifest.get("compactions", 0)) + 1
+    tmpm = os.path.join(index_dir, "ivf_manifest.json.tmp")
+    with open(tmpm, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmpm, os.path.join(index_dir, "ivf_manifest.json"))
+    return manifest
+
+
 def start_vector_index_stream(
     spark: SparkSession,
     input_path: str,

@@ -45,6 +45,20 @@ BWC_DOCS = [
 BWC_QUERIES = [(0, "spark join", 5), (1, "posting merge", 5)]
 
 
+VEC_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "fixtures", "bwc_vindex_v1"
+)
+
+
+def bwc_vectors():
+    """Deterministic 40 x dim-8 corpus for the frozen vector index."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    mat = rng.normal(size=(40, 8)).astype("float32")
+    return [(int(i), [float(x) for x in mat[i]]) for i in range(40)]
+
+
 def main() -> None:
     from opensearch_jvector_plugin_spark.operators.build import build_index
     from opensearch_jvector_plugin_spark.session import get_spark
@@ -56,6 +70,33 @@ def main() -> None:
     corpus = spark.createDataFrame(BWC_DOCS, "doc_id LONG, text STRING")
     stats = build_index(corpus, out, seg_size=4)
     print("built fixture:", out, stats)
+
+    # Vector-index fixture: full current format (replicas, int8 SQ, PQ).
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        build_vector_index,
+        ivf_search_exact,
+        load_vector_index,
+    )
+
+    vout = os.path.abspath(VEC_FIXTURE_DIR)
+    if os.path.exists(vout):
+        shutil.rmtree(vout)
+    emb = spark.createDataFrame(
+        bwc_vectors(), "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    vman = build_vector_index(emb, vout, n_centroids=4, n_replicas=2,
+                              pq_m=4)
+    print("built vector fixture:", vout, vman)
+    vq = emb.where("vec_id < 2").selectExpr(
+        "cast(vec_id as int) as query_id", "embedding as query_vec"
+    )
+    vres = (
+        ivf_search_exact(spark, load_vector_index(vout), vq, k=5, nprobe=2)
+        .toPandas().sort_values(["query_id", "rank"])
+    )
+    for r in vres.itertuples(index=False):
+        print(f"    ({r.query_id}, {r.rank}, {r.vec_id}, "
+              f"{round(r.cosine, 6)}),")
 
     # Print the pinned expectations for test_bwc.py.
     import pandas as pd

@@ -73,6 +73,69 @@ def test_current_reader_serves_frozen_index(spark):
     assert got == EXPECTED
 
 
+VEC_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "bwc_vindex_v1"
+)
+VEC_EXPECTED = [
+    (0, 1, 0, 1.0),
+    (0, 2, 26, 0.668643),
+    (0, 3, 15, 0.662346),
+    (0, 4, 23, 0.646611),
+    (0, 5, 25, 0.478233),
+    (1, 1, 1, 1.0),
+    (1, 2, 33, 0.773565),
+    (1, 3, 27, 0.734768),
+    (1, 4, 21, 0.618656),
+    (1, 5, 32, 0.599519),
+]
+
+
+def test_current_reader_serves_frozen_vector_index(spark):
+    """The frozen vector index (replicas=2, int8 SQ + PQ codebooks) must be
+    served by the current reader with results pinned at freeze time, on
+    both the exact and the quantized (each codec) serving paths."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from make_bwc_fixture import bwc_vectors
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        ivf_search,
+        ivf_search_exact,
+        load_vector_index,
+    )
+
+    idx = load_vector_index(VEC_FIXTURE)
+    assert idx.manifest["n_vecs"] == 40
+    assert idx.n_replicas == 2 and idx.pq_m == 4
+    emb = spark.createDataFrame(
+        bwc_vectors(), "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    q = emb.where("vec_id < 2").selectExpr(
+        "cast(vec_id as int) as query_id", "embedding as query_vec"
+    )
+    res = (
+        ivf_search_exact(spark, idx, q, k=5, nprobe=2)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = [
+        (int(r.query_id), int(r.rank), int(r.vec_id),
+         round(float(r.cosine), 6))
+        for r in res.itertuples(index=False)
+    ]
+    assert got == VEC_EXPECTED
+    # Quantized codecs read the frozen qvec/pqcode bytes; with full
+    # over-query they must agree with the exact path's pinned ids.
+    for codec in ("sq", "pq"):
+        qres = ivf_search(spark, idx, q.toPandas(), k=5, nprobe=2,
+                          over_query=8, codec=codec).toPandas()
+        for qid in (0, 1):
+            want_ids = [v for (qq, _, v, _) in VEC_EXPECTED if qq == qid]
+            got_ids = set(qres[qres.query_id == qid]["vec_id"])
+            assert set(want_ids) == got_ids, (codec, qid)
+
+
 def test_frozen_index_survives_merge(spark, tmp_path):
     """The current merge must also accept the frozen segments (upgrade
     path: old index, new code, force-merge) and serve identical results."""

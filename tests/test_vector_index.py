@@ -422,6 +422,44 @@ def test_vector_index_stream_appends(spark, tmp_path):
         brute.sort_values(["query_id", "rank"])["vec_id"].tolist()
 
 
+def test_compact_preserves_results(spark, tmp_path):
+    """Compaction after streaming appends: fewer files per partition, rows
+    and served results unchanged."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        append_vectors,
+        compact_vector_index,
+    )
+
+    emb = spark.read.parquet(EMB)
+    d = str(tmp_path / "vidx_c")
+    build_vector_index(emb.where(F.col("vec_id") < 200), d, n_centroids=8)
+    append_vectors(
+        emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)), d, 0
+    )
+    append_vectors(emb.where(F.col("vec_id") >= 350), d, 1)
+
+    idx = load_vector_index(d)
+    q = queries_df(spark)
+    before = ivf_search_exact(spark, idx, q, k=10, nprobe=8).toPandas()
+    files_before = len(glob.glob(os.path.join(d, "buckets", "*", "*.parquet")))
+
+    m = compact_vector_index(spark, d)
+    assert m["compactions"] == 1
+    files_after = len(glob.glob(os.path.join(d, "buckets", "*", "*.parquet")))
+    assert files_after < files_before
+    idx2 = load_vector_index(d)
+    assert spark.read.parquet(idx2.buckets_path).count() == 500
+    after = ivf_search_exact(spark, idx2, q, k=10, nprobe=8).toPandas()
+    pd.testing.assert_frame_equal(
+        before.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        after.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
 def test_quantized_filtered_search(spark, vidx):
     """acceptDocs on the ADC path: every result is allowed, queries still
     fill k, and results agree with the exact filtered path."""
