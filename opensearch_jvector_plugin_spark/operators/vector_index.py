@@ -524,6 +524,9 @@ def build_vector_index(
     with open(tmpm, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmpm, os.path.join(index_dir, "ivf_manifest.json"))
+    from ..plans.metrics import append_metrics
+
+    append_metrics(index_dir, {"op": "vector_index_build", **manifest})
     return manifest
 
 
@@ -626,6 +629,12 @@ def append_vectors(
     with open(tmpm, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmpm, os.path.join(index_dir, "ivf_manifest.json"))
+    from ..plans.metrics import append_metrics
+
+    append_metrics(index_dir, {
+        "op": "vector_index_append", "batch_id": int(batch_id),
+        "n_appended": int(n_new), "n_vecs": manifest["n_vecs"],
+    })
     return manifest
 
 
@@ -669,6 +678,13 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
     with open(tmpm, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmpm, os.path.join(index_dir, "ivf_manifest.json"))
+    from ..plans.metrics import append_metrics
+
+    append_metrics(index_dir, {
+        "op": "vector_index_compact",
+        "compactions": manifest["compactions"],
+        "n_vecs": manifest.get("n_vecs"),
+    })
     return manifest
 
 

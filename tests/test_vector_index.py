@@ -449,6 +449,12 @@ def test_compact_preserves_results(spark, tmp_path):
 
     m = compact_vector_index(spark, d)
     assert m["compactions"] == 1
+    # Lineage/metrics log records the full build->append->compact history.
+    from opensearch_jvector_plugin_spark.plans.metrics import read_metrics
+
+    ops = [r["op"] for r in read_metrics(d)]
+    assert ops == ["vector_index_build", "vector_index_append",
+                   "vector_index_append", "vector_index_compact"]
     files_after = len(glob.glob(os.path.join(d, "buckets", "*", "*.parquet")))
     assert files_after < files_before
     idx2 = load_vector_index(d)
