@@ -17,6 +17,23 @@ Workloads:
 3. Every driver registry query once at the sf dir (the heavy exact n-gram
    pair scan is skipped above sf0.01 — MinHash is the scale path and IS
    benchmarked).
+
+Epoch robustness (the round-3 lesson — BENCH.md documents measured
+multi-minute ~3x host slowdown epochs): every recorded time is the MIN of
+trials that are SEPARATED IN TIME, not back-to-back. The run is phased:
+
+  Phase A: every workload once.
+  Phase B pass 1: re-run the headline workloads (index_build,
+    bm25_query_batch) and anything that took > 5s in phase A — by now
+    separated from their first trial by the whole registry sweep.
+  (recall computation runs here, adding further separation)
+  Phase B pass 2: re-run the headline workloads a third time, plus any
+    workload whose two samples still disagree by > 1.5x (disagreement is
+    the epoch signature; agreement means both samples are clean).
+
+A minutes-long slowdown epoch can cover one phase but not the whole run,
+so the min lands in a clean window. index_build trials build into fresh
+scratch dirs (the first build is the one served by the query workloads).
 """
 
 from __future__ import annotations
@@ -30,6 +47,10 @@ import time
 
 import numpy as np
 import pandas as pd
+
+RETRY_ALWAYS = ("index_build", "bm25_query_batch")
+SLOW_RETRY_S = 5.0
+DISAGREE_RATIO = 1.5
 
 
 def bench_queries(n_queries: int) -> pd.DataFrame:
@@ -51,9 +72,16 @@ def main() -> None:
     n_queries = int(os.environ.get("OJS_BENCH_QUERIES", "200"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    from pyspark.sql import functions as F
+
     from opensearch_jvector_plugin_spark.entry_queries import QUERIES
     from opensearch_jvector_plugin_spark.operators.build import build_index
     from opensearch_jvector_plugin_spark.operators.query import load_index, search
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        build_vector_index,
+        ivf_search,
+        load_vector_index,
+    )
     from opensearch_jvector_plugin_spark.plans.docids import assign_doc_ids
     from opensearch_jvector_plugin_spark.session import get_spark
     from opensearch_jvector_plugin_spark.sources.transcripts import (
@@ -73,98 +101,124 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
     work_dir = tempfile.mkdtemp(prefix="ojs_bench_")
+    scratch_n = [0]
+
+    def record(name: str, fn) -> float:
+        t0 = time.monotonic()
+        fn()
+        t = time.monotonic() - t0
+        samples.setdefault(name, []).append(t)
+        return t
+
     try:
-        # --- 1. transcript corpus (untimed generation, timed build) ---
+        # --- corpus + index setup (generation untimed) ---
         corpus_path = os.path.join(work_dir, "transcripts.parquet")
         synthesize_transcripts(
             spark, max(1, n_turns // 10), 10
         ).write.mode("overwrite").parquet(corpus_path)
-
         idx_dir = os.path.join(work_dir, "index")
-        t0 = time.monotonic()
-        raw = spark.read.parquet(corpus_path)
-        corpus = assign_doc_ids(raw, ["conv_id", "turn_idx"])
-        # Ingest partitioning (range-sorted from docID assignment) is the
-        # segment layout: shuffle-free build.
-        build_index(corpus, idx_dir, align_partitions=True)
-        build_s = time.monotonic() - t0
-        timings["index_build"] = round(build_s, 3)
-        extras["build_turns_per_sec"] = round(n_turns / build_s, 1)
-        persisted = getattr(corpus, "_ojs_persisted", None)
-        if persisted is not None:
-            persisted.unpersist()
 
-        # --- 2. batched query scoring ---
-        index = load_index(idx_dir)
+        def run_index_build():
+            # First trial builds the index the query workloads serve;
+            # retrial builds land in throwaway scratch dirs.
+            if os.path.exists(os.path.join(idx_dir, "manifest.json")):
+                scratch_n[0] += 1
+                out = os.path.join(work_dir, f"index_retry{scratch_n[0]}")
+            else:
+                out = idx_dir
+            raw = spark.read.parquet(corpus_path)
+            corpus = assign_doc_ids(raw, ["conv_id", "turn_idx"])
+            # Ingest partitioning (range-sorted from docID assignment) is
+            # the segment layout: shuffle-free build.
+            build_index(corpus, out, align_partitions=True)
+            persisted = getattr(corpus, "_ojs_persisted", None)
+            if persisted is not None:
+                persisted.unpersist()
+
         qs = bench_queries(n_queries)
-        t0 = time.monotonic()
-        n_rows = search(spark, index, qs).count()
-        query_s = time.monotonic() - t0
-        t0 = time.monotonic()
-        search(spark, index, qs).count()
-        query_s = min(query_s, time.monotonic() - t0)  # min-of-2 (epochs)
-        timings["bm25_query_batch"] = round(query_s, 3)
-        extras["query_qps"] = round(n_queries / query_s, 1)
-        extras["query_result_rows"] = n_rows
 
-        # --- 2b. vector index: build / quantized-serve split ---
-        from pyspark.sql import functions as F
+        def run_query_batch():
+            index = load_index(idx_dir)
+            n = search(spark, index, qs).count()
+            extras["query_result_rows"] = n
 
-        from opensearch_jvector_plugin_spark.operators.vector_index import (
-            build_vector_index,
-            ivf_search,
-            load_vector_index,
-        )
-
-        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        # --- vector index: build / quantized-serve split ---
         vdir = os.path.join(work_dir, "vindex")
-        t0 = time.monotonic()
-        build_vector_index(emb, vdir, n_centroids=16, pq_m=8)
-        timings["vector_index_build"] = round(time.monotonic() - t0, 3)
-        vidx = load_vector_index(vdir)
-        vq = (
-            emb.where(F.col("vec_id") < 16)
-            .select(
-                F.col("vec_id").cast("int").alias("query_id"),
-                F.col("embedding").alias("query_vec"),
-            )
-            .toPandas()
-        )
-        t0 = time.monotonic()
-        ivf_search(spark, vidx, vq, k=10, nprobe=4, over_query=5).count()
-        timings["ivf_query_quantized"] = round(time.monotonic() - t0, 3)
-        # Codec 2: PQ ADC first pass (m bytes/vector instead of dim+16).
-        t0 = time.monotonic()
-        ivf_search(spark, vidx, vq, k=10, nprobe=4, over_query=5,
-                   codec="pq").count()
-        timings["ivf_query_pq"] = round(time.monotonic() - t0, 3)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
-        # --- 3. registry queries at the sf dir ---
+        def run_vector_build():
+            if os.path.exists(os.path.join(vdir, "ivf_manifest.json")):
+                scratch_n[0] += 1
+                out = os.path.join(work_dir, f"vindex_retry{scratch_n[0]}")
+            else:
+                out = vdir
+            build_vector_index(emb, out, n_centroids=16, pq_m=8)
+
+        vq_holder = {}
+
+        def vq():
+            if "q" not in vq_holder:
+                vq_holder["q"] = (
+                    emb.where(F.col("vec_id") < 16)
+                    .select(
+                        F.col("vec_id").cast("int").alias("query_id"),
+                        F.col("embedding").alias("query_vec"),
+                    )
+                    .toPandas()
+                )
+            return vq_holder["q"]
+
+        def run_ivf_quantized():
+            vidx = load_vector_index(vdir)
+            ivf_search(spark, vidx, vq(), k=10, nprobe=4, over_query=5).count()
+
+        def run_ivf_pq():
+            # Codec 2: PQ ADC first pass (m bytes/vector instead of dim+16).
+            vidx = load_vector_index(vdir)
+            ivf_search(
+                spark, vidx, vq(), k=10, nprobe=4, over_query=5, codec="pq"
+            ).count()
+
+        workloads: dict[str, object] = {
+            "index_build": run_index_build,
+            "bm25_query_batch": run_query_batch,
+            "vector_index_build": run_vector_build,
+            "ivf_query_quantized": run_ivf_quantized,
+            "ivf_query_pq": run_ivf_pq,
+        }
         skip = {"dedup_ngram"} if sf > 0.011 else set()
         for name, fn in QUERIES.items():
             if name in skip:
                 continue
-            t0 = time.monotonic()
-            fn(spark, sf_dir).count()
-            t = time.monotonic() - t0
-            if t > 5.0:
-                # Host exhibits intermittent multi-x slowdown epochs
-                # (measured, BENCH.md): re-time anything slow once and take
-                # the min, the same min-of-trials discipline as the
-                # headline metrics.
-                t0 = time.monotonic()
+
+            def run_registry(fn=fn):
                 fn(spark, sf_dir).count()
-                t = min(t, time.monotonic() - t0)
-            timings[name] = round(t, 3)
-            # Queries that persist derived frames (score_all) would
-            # otherwise accumulate executor storage across the loop.
-            spark.catalog.clearCache()
+                # Queries that persist derived frames (score_all) would
+                # otherwise accumulate executor storage across the loop.
+                spark.catalog.clearCache()
+
+            workloads[name] = run_registry
+
+        # --- Phase A: every workload once ---
+        for name, fn in workloads.items():
+            record(name, fn)
+
+        # --- Phase B pass 1: headline + slow workloads, now time-separated
+        # from their phase-A trial by the rest of the run ---
+        retry1 = [
+            n
+            for n in workloads
+            if n in RETRY_ALWAYS or min(samples[n]) > SLOW_RETRY_S
+        ]
+        for name in retry1:
+            record(name, workloads[name])
 
         # IVF recall@k vs brute force (the reference logs recall per JMH
-        # iteration, FormatBenchmarkRandomVectors.java:129-141).
+        # iteration, FormatBenchmarkRandomVectors.java:129-141) — also
+        # serves as the time gap between retry passes.
         try:
             brute = QUERIES["ann_bruteforce"](spark, sf_dir).select(
                 "query_id", "vec_id"
@@ -182,6 +236,34 @@ def main() -> None:
             )
         except Exception:
             pass
+
+        # --- Phase B pass 2: a third headline sample, plus anything whose
+        # samples still disagree (the epoch signature) ---
+        retry2 = [
+            n
+            for n in workloads
+            if n in RETRY_ALWAYS
+            or (
+                len(samples[n]) >= 2
+                and max(samples[n]) > DISAGREE_RATIO * min(samples[n])
+                and min(samples[n]) > 1.0
+            )
+        ]
+        for name in retry2:
+            record(name, workloads[name])
+
+        timings = {n: round(min(ts), 3) for n, ts in samples.items()}
+        extras["build_turns_per_sec"] = round(
+            n_turns / min(samples["index_build"]), 1
+        )
+        extras["query_qps"] = round(
+            n_queries / min(samples["bm25_query_batch"]), 1
+        )
+        extras["bench_trials"] = {
+            n: [round(t, 3) for t in ts]
+            for n, ts in samples.items()
+            if len(ts) > 1
+        }
 
         total = round(sum(timings.values()), 3)
         out = {
