@@ -428,13 +428,19 @@ ANN_RADIAL_MIN_SCORE = 0.3
 def q_ann_ivf_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radial vector search over the trained index (the reference's
     min_score mode routed to RNNQuery, KNNQueryBuilder.java:552-565):
-    every probed vector with cosine >= the threshold, ranked."""
+    every probed vector with cosine >= the threshold, ranked. Served via
+    the QUANTIZED path (codec='sq' default, round 4): an int8-ADC first
+    pass applies a proven-conservative threshold cut over only the
+    quantized columns, then survivors are exact-verified — results are
+    bit-identical to single-pass exact scoring, which is what the DuckDB
+    oracle computes."""
     from .operators.vector_index import ivf_search_radial, load_vector_index
 
     idx = load_vector_index(_vector_index_for(spark, sf_dir))
     return ivf_search_radial(
         spark, idx, _ann_queries(spark, sf_dir),
         min_score=ANN_RADIAL_MIN_SCORE, nprobe=IVF_TRAINED_NPROBE,
+        codec="sq",
     )
 
 

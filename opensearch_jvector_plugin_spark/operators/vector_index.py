@@ -71,6 +71,192 @@ TRAIN_SEED = 7
 
 IVF_METRICS = ("cosine", "l2", "innerproduct")
 
+# ------------------------------------------------------- lifecycle plumbing
+
+MANIFEST = "ivf_manifest.json"
+
+
+def _read_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        return json.load(f)
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    tmpm = os.path.join(index_dir, MANIFEST + ".tmp")
+    with open(tmpm, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmpm, os.path.join(index_dir, MANIFEST))
+
+
+def _buckets_path(index_dir: str, manifest: dict) -> str:
+    """Active bucket-table directory. `bucket_gen` in the manifest is the
+    generation POINTER: compaction writes `buckets-g<n+1>/` and commits by
+    flipping this field (atomic manifest replace) — the object-store-safe
+    swap (no rename of live data). Absent/0 resolves to the legacy
+    `buckets/` layout every pre-generation index (and every fresh build)
+    uses, so frozen BWC fixtures keep loading."""
+    gen = int(manifest.get("bucket_gen") or 0)
+    if gen > 0:
+        return os.path.join(index_dir, f"buckets-g{gen:04d}")
+    return os.path.join(index_dir, "buckets")
+
+
+def _staging_path(index_dir: str, batch_id: int) -> str:
+    return os.path.join(index_dir, f"append_staging_batch{int(batch_id)}")
+
+
+def _require_local_master(spark: SparkSession, op: str) -> None:
+    """Index maintenance (append commit, compaction GC, pending-batch
+    rollback) manipulates index files with driver-local filesystem ops —
+    valid only when index_dir is reachable from the driver, i.e. local
+    mode or a shared POSIX mount. Same contract as the near-dup block
+    store (dedup.embedding_near_dup_pairs). On object stores the
+    equivalent is: write the new generation/batch through the cluster FS,
+    then commit by conditional-put of the manifest pointer — the layout
+    (generation dirs + manifest pointer) is already that shape; only the
+    FS client is missing here."""
+    master = spark.sparkContext.master or ""
+    if not master.startswith("local"):
+        raise ValueError(
+            f"{op} on a non-local master ({master!r}) requires index_dir "
+            "on storage with driver-visible atomic file ops; this build "
+            "only implements the local/shared-POSIX client (see docstring "
+            "for the object-store commit shape)."
+        )
+
+
+def _rollback_batch_files(buckets: str, batch_id: int) -> int:
+    """Delete every bucket file belonging to `batch_id` (files are moved in
+    with a `batch<id>-` name prefix, which is the reconciliation handle)."""
+    removed = 0
+    prefix = f"batch{int(batch_id)}-"
+    if not os.path.isdir(buckets):
+        return 0
+    for part in os.listdir(buckets):
+        pdir = os.path.join(buckets, part)
+        if not (part.startswith("centroid_id=") and os.path.isdir(pdir)):
+            continue
+        for fname in os.listdir(pdir):
+            if fname.startswith(prefix):
+                os.remove(os.path.join(pdir, fname))
+                removed += 1
+    return removed
+
+
+def _reconcile(index_dir: str, manifest: dict) -> dict:
+    """Crash recovery at load/append time (single-writer contract):
+
+    - a `pending_batch_id` in the manifest means an append crashed after
+      its intent was recorded but before commit — its staged dir and any
+      partially-moved `batch<id>-*` files are rolled back, restoring the
+      exactly-once contract for a retried epoch;
+    - a missing legacy `buckets/` with `buckets.old` present is the
+      pre-generation compactor's rename crash window — rolled forward by
+      restoring `buckets.old` (current compaction never renames live data,
+      it flips the `bucket_gen` pointer)."""
+    import shutil
+
+    changed = False
+    pb = manifest.get("pending_batch_id")
+    if pb is not None:
+        _rollback_batch_files(_buckets_path(index_dir, manifest), pb)
+        shutil.rmtree(_staging_path(index_dir, pb), ignore_errors=True)
+        del manifest["pending_batch_id"]
+        changed = True
+    bp = _buckets_path(index_dir, manifest)
+    legacy_old = os.path.join(index_dir, "buckets.old")
+    if not os.path.exists(bp) and os.path.exists(legacy_old):
+        os.rename(legacy_old, bp)
+        changed = True
+    if changed:
+        _write_manifest(index_dir, manifest)
+    return manifest
+
+
+# ------------------------------------------------------------ ingest contract
+
+
+def _bucket_row_bytes(dim: int, pq_m: int | None, n_replicas: int) -> int:
+    """Mean on-disk/in-memory bytes per corpus vector in the bucket table:
+    float32 embedding + int8 qvec + scales/norm/id + optional PQ code,
+    times the replication factor."""
+    per_row = 4 * dim + dim + 8 + 8 + 8 + 4 + (int(pq_m) if pq_m else 0)
+    return per_row * max(1, int(n_replicas))
+
+
+def validate_embedding_matrix(
+    col, dim: int | None, metric: str, where: str, ids=None
+) -> np.ndarray:
+    """Ingest-time vector validation — the reference's per-vector contract
+    (PerDimensionValidator.java:1-66 NaN/finite per dimension;
+    SpaceType.validateVector, SpaceType.java:86-101 zero-vector rejection
+    for cosine; KNNVectorFieldMapper.java:99-123 dimension match): rejects
+    null embeddings, ragged/mismatched dimensions, non-finite components,
+    and zero vectors under the cosine space, each with a clear error naming
+    the offending vec_id. Returns the validated (n, dim) float64 matrix."""
+
+    def _vid(i: int) -> str:
+        if ids is None:
+            return f"row {i}"
+        return f"vec_id={int(np.asarray(ids)[i])}"
+
+    vecs = list(col)
+    for i, v in enumerate(vecs):
+        if v is None:
+            raise ValueError(f"{where}: null embedding ({_vid(i)})")
+    lens = [len(v) for v in vecs]
+    want = int(dim) if dim is not None else (lens[0] if lens else 0)
+    for i, ln in enumerate(lens):
+        if ln != want:
+            raise ValueError(
+                f"{where}: embedding dimension mismatch — expected {want}, "
+                f"got {ln} ({_vid(i)})"
+            )
+    if not vecs:
+        return np.zeros((0, want), dtype=np.float64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+    bad = ~np.isfinite(mat)
+    if bad.any():
+        i = int(np.flatnonzero(bad.any(axis=1))[0])
+        raise ValueError(
+            f"{where}: non-finite embedding component (NaN/Inf) ({_vid(i)})"
+        )
+    if metric == "cosine":
+        zero = (mat == 0.0).all(axis=1)
+        if zero.any():
+            i = int(np.flatnonzero(zero)[0])
+            raise ValueError(
+                f"{where}: zero vector is not indexable under the cosine "
+                f"space ({_vid(i)})"
+            )
+    return mat
+
+
+DEFAULT_BUCKET_BYTE_BUDGET = 64 << 20  # auto-k sizing target per bucket
+
+
+def auto_n_centroids(
+    n_vecs: int,
+    dim: int,
+    pq_m: int | None = None,
+    n_replicas: int = 1,
+    bucket_byte_budget: int = DEFAULT_BUCKET_BYTE_BUDGET,
+) -> int:
+    """Scale-aware centroid-count rule (used when the caller doesn't pin
+    k): k = clamp(max(round(sqrt(N)), ceil(total_bytes / budget)), 1, N).
+    sqrt(N) is the classic IVF probe-cost/bucket-cost balance; the byte
+    floor keeps the MEAN bucket under `bucket_byte_budget` so a probe (or
+    the near-dup bucket-pair kernel) never has to materialize an unbounded
+    partition — the same cost-model-over-magic-constant discipline as the
+    reference's FilterIdsSelector.java:78-109 bitmap-vs-array choice."""
+    if n_vecs <= 0:
+        return 1
+    total = n_vecs * _bucket_row_bytes(dim, pq_m, n_replicas)
+    k_sqrt = int(round(float(n_vecs) ** 0.5))
+    k_budget = -(-total // int(bucket_byte_budget))
+    return int(max(1, min(n_vecs, max(k_sqrt, k_budget))))
+
+
 # ------------------------------------------------------------ content digest
 
 DIGEST_ROW_MOD = 1_000_003
@@ -389,10 +575,55 @@ def _read_sample_sorted(src: DataFrame, n_vecs: int, sample_cap: int):
     return pdf, stride
 
 
+def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
+                         dim: int | None, where: str):
+    """Shared build/append mapInPandas kernel: validate (ingest contract),
+    assign each vector to its `reps` nearest frozen centroids, int8-quantize,
+    PQ-encode when codebooks exist."""
+
+    def assign_quant(batches):
+        cc = bc_cents.value
+        bb = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            vecs = validate_embedding_matrix(
+                pdf["embedding"], dim, metric, where, ids=ids
+            )
+            a = assign_topn(vecs, cc, metric, n=reps)  # (n, reps)
+            q, scale, qnorm = quantize_int8(vecs)
+            qbytes = [r.tobytes() for r in q]
+            if bb is not None:
+                codes = pq_encode(vecs, bb, metric)
+                pbytes = [r.tobytes() for r in codes]
+            else:
+                pbytes = [None] * len(ids)
+            embs = list(pdf["embedding"])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.tile(ids, reps),
+                    "centroid_id": np.concatenate(
+                        [a[:, r] for r in range(reps)]
+                    ),
+                    "replica_rank": np.repeat(
+                        np.arange(reps, dtype=np.int32), len(ids)
+                    ),
+                    "embedding": embs * reps,
+                    "qvec": qbytes * reps,
+                    "qscale": np.tile(scale, reps),
+                    "qnorm": np.tile(qnorm, reps),
+                    "pqcode": pbytes * reps,
+                }
+            )
+
+    return assign_quant
+
+
 def build_vector_index(
     emb: DataFrame,
     index_dir: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int = SAMPLE_CAP,
@@ -400,6 +631,7 @@ def build_vector_index(
     metric: str = "cosine",
     n_replicas: int = 1,
     pq_m: int | None = None,
+    max_bucket_bytes: int | None = None,
 ) -> dict:
     """Train + persist the IVF index under index_dir:
 
@@ -419,11 +651,27 @@ def build_vector_index(
     stage; int8 SQ is codec 1) and stores an m-byte `pqcode` per vector;
     `ivf_search(codec="pq")` then reads ~m bytes/vector in the first pass
     instead of 4*dim.
+    n_centroids=None applies the scale-aware rule (auto_n_centroids:
+    max(sqrt(N), byte-budget floor)); the rule and chosen k are recorded in
+    the manifest.
+    Every ingested vector passes the reference's ingest contract
+    (validate_embedding_matrix: dimension match, finite components, no zero
+    vector under cosine) — on the bounded driver sample first for a clean
+    API-boundary error, then inside the distributed pass for full coverage.
+    max_bucket_bytes (or session conf spark.ojs.breaker.maxBucketBytes):
+    circuit breaker — fail fast when the estimated MEAN bucket exceeds the
+    budget, instead of OOMing a probe kernel later.
     """
     if metric not in IVF_METRICS:
         raise ValueError(f"unknown IVF metric {metric!r}")
-    if n_replicas < 1 or n_replicas > n_centroids:
-        raise ValueError(f"n_replicas must be in [1, n_centroids], got {n_replicas}")
+    if n_centroids is not None and (
+        n_replicas < 1 or n_replicas > n_centroids
+    ):
+        raise ValueError(
+            f"n_replicas must be in [1, n_centroids], got {n_replicas}"
+        )
+    if n_replicas < 1:
+        raise ValueError(f"n_replicas must be >= 1, got {n_replicas}")
     spark = emb.sparkSession
     src = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -431,11 +679,33 @@ def build_vector_index(
     )
     n_vecs = src.count()
     sample_pdf, stride = _read_sample_sorted(src, n_vecs, sample_cap)
-    smat = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in sample_pdf["embedding"]]
+    smat = validate_embedding_matrix(
+        sample_pdf["embedding"], None, metric, "build_vector_index",
+        ids=sample_pdf["vec_id"].to_numpy(np.int64) if len(sample_pdf) else None,
+    )
+    dim = int(smat.shape[1]) if len(smat) else 0
+    auto_rule = None
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(n_vecs, dim, pq_m, n_replicas)
+        auto_rule = "max(round(sqrt(n_vecs)), ceil(bytes/64MiB))"
+    from ..plans.breaker import check_bytes, resolve_cap
+
+    cap = resolve_cap("maxBucketBytes", max_bucket_bytes, spark)
+    est = (
+        n_vecs * _bucket_row_bytes(dim, pq_m, n_replicas)
+        // max(1, min(n_centroids, max(1, n_vecs)))
+    )
+    check_bytes(
+        "maxBucketBytes", est, cap,
+        detail=f"mean bucket of {n_vecs} vectors (dim {dim}) across "
+        f"{n_centroids} centroids; raise n_centroids",
     )
     cents = train_centroids(smat, n_centroids, seed=seed, metric=metric)
     k = len(cents)
+    # Training clamps k to the sample size; re-clamp replication so a tiny
+    # corpus can't request more replicas than there are centroids.
+    n_replicas_requested = int(n_replicas)
+    n_replicas = min(n_replicas_requested, k)
 
     os.makedirs(index_dir, exist_ok=True)
     cent_pdf = pd.DataFrame(
@@ -467,47 +737,14 @@ def build_vector_index(
     bc_books = spark.sparkContext.broadcast(books)
     reps = int(n_replicas)
 
-    def assign_quant(batches):
-        cc = bc_cents.value
-        bb = bc_books.value
-        for pdf in batches:
-            vecs = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            if len(vecs) == 0:
-                continue
-            a = assign_topn(vecs, cc, metric, n=reps)  # (n, reps)
-            q, scale, qnorm = quantize_int8(vecs)
-            ids = pdf["vec_id"].to_numpy(np.int64)
-            qbytes = [r.tobytes() for r in q]
-            if bb is not None:
-                codes = pq_encode(vecs, bb, metric)
-                pbytes = [r.tobytes() for r in codes]
-            else:
-                pbytes = [None] * len(ids)
-            embs = list(pdf["embedding"])
-            out = {
-                "vec_id": np.tile(ids, reps),
-                "centroid_id": np.concatenate(
-                    [a[:, r] for r in range(reps)]
-                ),
-                "replica_rank": np.repeat(
-                    np.arange(reps, dtype=np.int32), len(ids)
-                ),
-                "embedding": embs * reps,
-                "qvec": qbytes * reps,
-                "qscale": np.tile(scale, reps),
-                "qnorm": np.tile(qnorm, reps),
-                "pqcode": pbytes * reps,
-            }
-            yield pd.DataFrame(out)
-
+    assign_quant = _assign_quant_kernel(
+        bc_cents, bc_books, metric, reps, dim or None, "build_vector_index"
+    )
     buckets = os.path.join(index_dir, "buckets")
     src.mapInPandas(assign_quant, _BUCKET_SCHEMA).write.partitionBy(
         "centroid_id"
     ).mode("overwrite").parquet(buckets)
 
-    dim = int(len(sample_pdf["embedding"].iloc[0])) if len(sample_pdf) else 0
     manifest = {
         "n_vecs": int(n_vecs),
         "dim": dim,
@@ -520,10 +757,11 @@ def build_vector_index(
         "trained_on": int(len(sample_pdf)),
         "train_iters": TRAIN_ITERS,
     }
-    tmpm = os.path.join(index_dir, "ivf_manifest.json.tmp")
-    with open(tmpm, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmpm, os.path.join(index_dir, "ivf_manifest.json"))
+    if auto_rule is not None:
+        manifest["n_centroids_rule"] = auto_rule
+    if reps != n_replicas_requested:
+        manifest["n_replicas_requested"] = n_replicas_requested
+    _write_manifest(index_dir, manifest)
     from ..plans.metrics import append_metrics
 
     append_metrics(index_dir, {"op": "vector_index_build", **manifest})
@@ -549,14 +787,28 @@ def append_vectors(
     as new parquet files inside the existing centroid_id= partitions — a
     probe's partition pruning is unchanged.
 
-    Exactly-once: `batch_id` is the commit marker (the micro-batch epoch
-    in streaming). A batch_id already recorded in the manifest is skipped
-    (foreachBatch retries re-deliver the same epoch), and Spark's job
-    commit protocol keeps a failed append's files out of the table.
-    Returns the updated manifest."""
+    Exactly-once under crash/retry (the micro-batch epoch is `batch_id`):
+    the append is a three-step commit —
+
+      1. record the INTENT (`pending_batch_id`) in the manifest (atomic
+         replace) BEFORE any data write;
+      2. write the assigned/quantized batch to a staging dir via Spark,
+         then move its part files into the live partition dirs under a
+         `batch<id>-` name prefix (the reconciliation handle);
+      3. commit: move batch_id from pending to `appends` (atomic replace).
+
+    A batch_id already in `appends` is skipped (foreachBatch re-delivers
+    epochs on restart). A batch_id still in `pending_batch_id` means a
+    previous attempt crashed anywhere in step 2 — `_reconcile` rolls its
+    files back by prefix before the retry re-runs, so re-delivery can
+    never double-append (the round-3 ADVICE crash window: the old code
+    committed data before recording the batch). Single-writer contract, as
+    with the text segments. Returns the updated manifest."""
+    import shutil
+
     spark = emb.sparkSession
-    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
-        manifest = json.load(f)
+    _require_local_master(spark, "append_vectors")
+    manifest = _reconcile(index_dir, _read_manifest(index_dir))
     appends = manifest.setdefault("appends", [])
     if any(int(a["batch_id"]) == int(batch_id) for a in appends):
         return manifest
@@ -564,6 +816,7 @@ def append_vectors(
     metric = manifest.get("metric", "cosine")
     reps = int(manifest.get("n_replicas", 1))
     pq_m = manifest.get("pq_m")
+    dim = int(manifest.get("dim") or 0) or None
     cent_pdf = pd.read_parquet(os.path.join(index_dir, "centroids.parquet"))
     cents = np.asarray(
         [np.asarray(c, dtype=np.float64) for c in cent_pdf["cvec"]]
@@ -580,55 +833,55 @@ def append_vectors(
     if n_new == 0:
         return manifest
 
+    from ..plans.breaker import check_bytes, resolve_cap
+
+    cap = resolve_cap("maxBucketBytes", None, spark)
+    est = (
+        (int(manifest["n_vecs"]) + int(n_new))
+        * _bucket_row_bytes(dim or 0, pq_m, reps)
+        // max(1, len(cents))
+    )
+    check_bytes(
+        "maxBucketBytes", est, cap,
+        detail=f"mean bucket after appending {n_new} vectors; "
+        "compact into a higher-k index",
+    )
+
+    # Step 1: record intent.
+    manifest["pending_batch_id"] = int(batch_id)
+    _write_manifest(index_dir, manifest)
+
+    # Step 2: staged write + prefixed move into the live partitions.
     bc_cents = spark.sparkContext.broadcast(cents)
     bc_books = spark.sparkContext.broadcast(books)
-
-    def assign_quant(batches):
-        cc = bc_cents.value
-        bb = bc_books.value
-        for pdf in batches:
-            vecs = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            if len(vecs) == 0:
-                continue
-            a = assign_topn(vecs, cc, metric, n=reps)
-            q, scale, qnorm = quantize_int8(vecs)
-            ids = pdf["vec_id"].to_numpy(np.int64)
-            qbytes = [r.tobytes() for r in q]
-            if bb is not None:
-                codes = pq_encode(vecs, bb, metric)
-                pbytes = [r.tobytes() for r in codes]
-            else:
-                pbytes = [None] * len(ids)
-            embs = list(pdf["embedding"])
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.tile(ids, reps),
-                    "centroid_id": np.concatenate(
-                        [a[:, r] for r in range(reps)]
-                    ),
-                    "replica_rank": np.repeat(
-                        np.arange(reps, dtype=np.int32), len(ids)
-                    ),
-                    "embedding": embs * reps,
-                    "qvec": qbytes * reps,
-                    "qscale": np.tile(scale, reps),
-                    "qnorm": np.tile(qnorm, reps),
-                    "pqcode": pbytes * reps,
-                }
-            )
-
+    assign_quant = _assign_quant_kernel(
+        bc_cents, bc_books, metric, reps, dim, "append_vectors"
+    )
+    staging = _staging_path(index_dir, batch_id)
+    shutil.rmtree(staging, ignore_errors=True)
     src.mapInPandas(assign_quant, _BUCKET_SCHEMA).write.partitionBy(
         "centroid_id"
-    ).mode("append").parquet(os.path.join(index_dir, "buckets"))
+    ).mode("overwrite").parquet(staging)
+    buckets = _buckets_path(index_dir, manifest)
+    for part in os.listdir(staging):
+        sdir = os.path.join(staging, part)
+        if not (part.startswith("centroid_id=") and os.path.isdir(sdir)):
+            continue
+        dst = os.path.join(buckets, part)
+        os.makedirs(dst, exist_ok=True)
+        for fname in os.listdir(sdir):
+            if fname.endswith(".parquet"):
+                os.replace(
+                    os.path.join(sdir, fname),
+                    os.path.join(dst, f"batch{int(batch_id)}-{fname}"),
+                )
 
+    # Step 3: commit.
     manifest["n_vecs"] = int(manifest["n_vecs"]) + int(n_new)
     appends.append({"batch_id": int(batch_id), "n_vecs": int(n_new)})
-    tmpm = os.path.join(index_dir, "ivf_manifest.json.tmp")
-    with open(tmpm, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmpm, os.path.join(index_dir, "ivf_manifest.json"))
+    del manifest["pending_batch_id"]
+    _write_manifest(index_dir, manifest)
+    shutil.rmtree(staging, ignore_errors=True)
     from ..plans.metrics import append_metrics
 
     append_metrics(index_dir, {
@@ -643,23 +896,30 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
     vector-side forceMerge (ForceMergesOnlyMergePolicy discipline: explicit
     compaction only, no background magic). Streaming appends add one small
     parquet file per micro-batch per touched partition; at scale the probe
-    cost becomes file-open-bound. One distributed pass reads the buckets,
-    re-partitions on centroid_id, and writes a fresh table; the swap is a
-    directory rename pair, and the manifest records the compaction so an
-    interrupted swap is detectable (buckets.new left behind = compaction
-    did not commit; buckets/ is always a complete table).
+    cost becomes file-open-bound.
+
+    Generation-pointer commit (object-store-safe swap shape — live data is
+    NEVER renamed): one distributed pass reads the active generation and
+    writes `buckets-g<n+1>/`; the commit is flipping the manifest's
+    `bucket_gen` field (atomic replace; conditional-put on an object
+    store). Crash before the flip leaves an orphaned new generation (GC'd
+    by the next compact); crash after the flip leaves the superseded old
+    generation (likewise GC'd). The active generation is a complete table
+    at every instant.
 
     Results are bit-identical before/after: rows are unchanged, only file
     layout changes (test_compact_preserves_results pins it)."""
     import shutil
 
-    buckets = os.path.join(index_dir, "buckets")
-    new = os.path.join(index_dir, "buckets.new")
-    old = os.path.join(index_dir, "buckets.old")
-    shutil.rmtree(new, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    _require_local_master(spark, "compact_vector_index")
+    manifest = _reconcile(index_dir, _read_manifest(index_dir))
+    cur = _buckets_path(index_dir, manifest)
+    gen = int(manifest.get("bucket_gen") or 0)
+    new_gen = gen + 1
+    new = os.path.join(index_dir, f"buckets-g{new_gen:04d}")
+    shutil.rmtree(new, ignore_errors=True)  # orphan of a crashed compact
 
-    df = spark.read.parquet(buckets)
+    df = spark.read.parquet(cur)
     n_parts = df.select("centroid_id").distinct().count()
     (
         df.repartition(max(1, n_parts), "centroid_id")
@@ -667,17 +927,14 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
         .mode("overwrite")
         .parquet(new)
     )
-    os.rename(buckets, old)
-    os.rename(new, buckets)
-    shutil.rmtree(old, ignore_errors=True)
-
-    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
-        manifest = json.load(f)
+    manifest["bucket_gen"] = new_gen
     manifest["compactions"] = int(manifest.get("compactions", 0)) + 1
-    tmpm = os.path.join(index_dir, "ivf_manifest.json.tmp")
-    with open(tmpm, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmpm, os.path.join(index_dir, "ivf_manifest.json"))
+    _write_manifest(index_dir, manifest)  # the commit point
+    # GC superseded generations (best-effort; safe to re-run).
+    active = os.path.basename(new)
+    for p in os.listdir(index_dir):
+        if (p == "buckets" or p.startswith("buckets-g")) and p != active:
+            shutil.rmtree(os.path.join(index_dir, p), ignore_errors=True)
     from ..plans.metrics import append_metrics
 
     append_metrics(index_dir, {
@@ -777,8 +1034,7 @@ def export_centroids_twin(
 
 class VectorIndexHandle:
     def __init__(self, index_dir: str):
-        with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
-            self.manifest = json.load(f)
+        self.manifest = _read_manifest(index_dir)
         self.index_dir = index_dir
         cent_pdf = pd.read_parquet(os.path.join(index_dir, "centroids.parquet"))
         self.centroids = np.asarray(
@@ -818,10 +1074,14 @@ class VectorIndexHandle:
 
     @property
     def buckets_path(self) -> str:
-        return os.path.join(self.index_dir, "buckets")
+        return _buckets_path(self.index_dir, self.manifest)
 
 
 def load_vector_index(index_dir: str) -> VectorIndexHandle:
+    """Open a persisted index, first rolling back any uncommitted append
+    (pending_batch_id) or interrupted legacy compaction swap — the load
+    never serves a partially-appended batch (single-writer contract)."""
+    _reconcile(index_dir, _read_manifest(index_dir))
     return VectorIndexHandle(index_dir)
 
 
@@ -915,6 +1175,107 @@ def ivf_search_exact(
     )
 
 
+RADIAL_ADC_SLACK = 1e-7  # float headroom on the bound; only ADDS candidates
+
+
+def _radial_adc_survivors(
+    spark: SparkSession,
+    index: VectorIndexHandle,
+    qpdf: pd.DataFrame,
+    probes: pd.DataFrame,
+    probed_cids: list,
+    min_score: float | None,
+    max_distance: float | None,
+) -> DataFrame:
+    """Conservative ADC threshold cut for radial search: (query_id, vec_id)
+    pairs whose int8-reconstructed metric COULD pass the exact threshold.
+
+    With v = scale*q + e the int8 rounding error satisfies
+    ||e||_2 <= scale*sqrt(d)/2 =: E (scale = maxabs/127 means no clipping —
+    the same bound proven for the bucketed near-dup,
+    dedup.embedding_near_dup_pairs_bucketed stage 2). Per space, a true
+    UPPER bound on closeness (lower bound on distance):
+
+      cosine:  v.u_hat <= s*(q.u_hat) + E and ||v|| >= qnorm - E, so
+               ub = (s*(q.u_hat) + E) / (qnorm -/+ E) (sign-aware divisor);
+      ip:      ub = s*(q.u) + E*||u||           (Cauchy-Schwarz);
+      l2:      ||v-u|| >= ||s*q - u|| - E, so the exact distance can only
+               pass when sqrt(approx_l2sq) <= sqrt(max_distance) + E.
+
+    Pairs failing the bound (plus RADIAL_ADC_SLACK, which only widens the
+    net) are provably outside the radius; survivors are exact-verified by
+    the caller. Runs as mapInPandas over the partition-pruned scan of the
+    quantized columns only — no exchange, batch-bounded memory (the same
+    shape as _adc_first_pass)."""
+    metric = index.metric
+    qmat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in qpdf["query_vec"]]
+    )
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1), 1e-30)[:, None]
+    unorm = np.linalg.norm(qmat, axis=1)
+    qids = qpdf["query_id"].to_numpy(np.int32)
+    dim = qmat.shape[1]
+    probe_sets: dict[int, set] = {}
+    for r in probes.itertuples(index=False):
+        probe_sets.setdefault(int(r.centroid_id), set()).add(int(r.query_id))
+    thresh = float(min_score) if min_score is not None else float(max_distance)
+    bc = spark.sparkContext.broadcast(
+        (qids, qn, qmat, unorm, probe_sets, dim, metric, thresh)
+    )
+
+    def cut(batches):
+        all_qids, qnv, qraw, un, psets, d, met, t = bc.value
+        slack = RADIAL_ADC_SLACK * (1.0 + abs(t))
+        for batch in batches:
+            for cid, pdf in batch.groupby("centroid_id", sort=False):
+                wanted = psets.get(int(cid))
+                if not wanted or not len(pdf):
+                    continue
+                qsel = np.flatnonzero(np.isin(all_qids, list(wanted)))
+                vid = pdf["vec_id"].to_numpy(np.int64)
+                qv = np.frombuffer(
+                    b"".join(pdf["qvec"]), dtype=np.int8
+                ).reshape(len(pdf), d).astype(np.float64)
+                scale = pdf["qscale"].to_numpy(np.float64)
+                qnorm = pdf["qnorm"].to_numpy(np.float64)
+                E = scale * (np.sqrt(d) / 2.0)
+                if met == "cosine":
+                    num = (qv @ qnv[qsel].T) * scale[:, None] + E[:, None]
+                    denom = np.where(
+                        num > 0,
+                        np.maximum(qnorm - E, 1e-30)[:, None],
+                        (qnorm + E)[:, None],
+                    )
+                    ok = (num / denom) >= t - slack
+                elif met == "innerproduct":
+                    ub = (qv @ qraw[qsel].T) * scale[:, None] + (
+                        E[:, None] * un[qsel][None, :]
+                    )
+                    ok = ub >= t - slack
+                else:  # l2 (max_distance on squared distance)
+                    dots = (qv @ qraw[qsel].T) * scale[:, None]
+                    usq = (qraw[qsel] * qraw[qsel]).sum(axis=1)
+                    approx = np.maximum(
+                        (qnorm * qnorm)[:, None] - 2.0 * dots + usq[None, :],
+                        0.0,
+                    )
+                    ok = np.sqrt(approx) <= np.sqrt(t) + E[:, None] + slack
+                rows, cols = np.nonzero(ok)
+                if not len(rows):
+                    continue
+                yield pd.DataFrame(
+                    {"query_id": all_qids[qsel[cols]].astype(np.int32),
+                     "vec_id": vid[rows]}
+                )
+
+    return (
+        spark.read.parquet(index.buckets_path)
+        .where(F.col("centroid_id").isin(probed_cids))
+        .select("centroid_id", "vec_id", "qvec", "qscale", "qnorm")
+        .mapInPandas(cut, "query_id INT, vec_id LONG")
+    )
+
+
 def ivf_search_radial(
     spark: SparkSession,
     index: VectorIndexHandle,
@@ -923,6 +1284,7 @@ def ivf_search_radial(
     max_distance: float | None = None,
     nprobe: int = 4,
     allowed: DataFrame | None = None,
+    codec: str = "sq",
 ) -> DataFrame:
     """Radial vector search — the reference's min_score / max_distance
     query modes applied to the vector index (KNNQueryBuilder.java:241-258
@@ -935,7 +1297,21 @@ def ivf_search_radial(
       metric >= min_score;
     - max_distance: for ascending spaces (l2) — keep metric <= max_distance.
     Exactly one must be set, and it must match the index's space — the
-    same validation posture as the reference's builder."""
+    same validation posture as the reference's builder.
+
+    codec="sq" (default): the radial-with-rescore shape of the reference
+    (RNNQuery routed through the same index machinery,
+    KNNQueryBuilder.java:552-565) — an int8-ADC first pass over ONLY the
+    quantized columns applies a PROVEN-conservative threshold cut (the
+    same |e|_2 <= scale*sqrt(d)/2 error bound as the bucketed near-dup,
+    dedup.embedding_near_dup_pairs_bucketed stage 2: zero false
+    negatives by construction), then ONLY the survivors join back to full
+    precision for the exact fold-order threshold + rank. Results are
+    bit-identical to codec="exact" (the oracle twin); the exact metric is
+    evaluated on survivors instead of every probed row.
+    codec="exact": single-pass full-precision scoring."""
+    if codec not in ("sq", "exact"):
+        raise ValueError(f"unknown codec {codec!r}")
     expr_fn, out_col, ascending = _metric_col(index.metric)
     n_set = sum(x is not None for x in (min_score, max_distance))
     if n_set != 1:
@@ -954,29 +1330,55 @@ def ivf_search_radial(
     qpdf = queries.toPandas()
     probes = _probes(index, qpdf, nprobe)
     probed_cids = sorted(set(int(c) for c in probes["centroid_id"]))
-    probes_df = spark.createDataFrame(probes)
     q = spark.createDataFrame(qpdf[["query_id", "query_vec"]]).select(
         F.col("query_id").cast("int").alias("query_id"),
         F.col("query_vec").alias("qv"),
     )
-    bucket = (
-        spark.read.parquet(index.buckets_path)
-        .where(F.col("centroid_id").isin(probed_cids))
-        .select("vec_id", "centroid_id", F.col("embedding").alias("v"))
-    )
-    if allowed is not None:
-        bucket = bucket.join(
-            allowed.select(F.col("vec_id").cast("long").alias("vec_id")),
-            "vec_id", "left_semi",
+    if codec == "sq":
+        surv = _radial_adc_survivors(
+            spark, index, qpdf, probes, probed_cids, min_score, max_distance
         )
-    cand = bucket.join(F.broadcast(probes_df), "centroid_id")
-    if index.n_replicas > 1:
-        cand = cand.dropDuplicates(["query_id", "vec_id"])
-    scored = cand.join(F.broadcast(q), "query_id").withColumn(
-        out_col, expr_fn(F.col("v"), F.col("qv"))
-    )
+        if index.n_replicas > 1:
+            surv = surv.dropDuplicates(["query_id", "vec_id"])
+        if allowed is not None:
+            surv = surv.join(
+                allowed.select(F.col("vec_id").cast("long").alias("vec_id")),
+                "vec_id", "left_semi",
+            )
+        full = (
+            spark.read.parquet(index.buckets_path)
+            .where(F.col("centroid_id").isin(probed_cids))
+            .select("vec_id", F.col("embedding").alias("v"))
+        )
+        if index.n_replicas > 1:
+            full = full.dropDuplicates(["vec_id"])
+        scored = (
+            surv.join(full, "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .withColumn(out_col, expr_fn(F.col("v"), F.col("qv")))
+        )
+    else:
+        probes_df = spark.createDataFrame(probes)
+        bucket = (
+            spark.read.parquet(index.buckets_path)
+            .where(F.col("centroid_id").isin(probed_cids))
+            .select("vec_id", "centroid_id", F.col("embedding").alias("v"))
+        )
+        if allowed is not None:
+            bucket = bucket.join(
+                allowed.select(F.col("vec_id").cast("long").alias("vec_id")),
+                "vec_id", "left_semi",
+            )
+        cand = bucket.join(F.broadcast(probes_df), "centroid_id")
+        if index.n_replicas > 1:
+            cand = cand.dropDuplicates(["query_id", "vec_id"])
+        scored = cand.join(F.broadcast(q), "query_id").withColumn(
+            out_col, expr_fn(F.col("v"), F.col("qv"))
+        )
     # The threshold cut uses the UNROUNDED fold-exact value (bit-identical
-    # to the oracle); only the emitted column and rank round to 6dp.
+    # to the oracle); only the emitted column and rank round to 6dp. On the
+    # sq path the ADC cut was conservative, so applying the exact threshold
+    # to the survivors yields the identical result set.
     if ascending:
         scored = scored.where(F.col(out_col) <= float(max_distance))
     else:
@@ -987,6 +1389,108 @@ def ivf_search_radial(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("query_id", "rank", "vec_id", m6.alias(out_col))
+    )
+
+
+def _adc_first_pass(
+    spark: SparkSession,
+    index: VectorIndexHandle,
+    probed_cids: list,
+    codec: str,
+    bc,
+) -> DataFrame:
+    """Quantized first pass with ZERO exchange: mapInPandas directly over
+    the partition-pruned bucket scan, grouping by centroid_id WITHIN each
+    Arrow batch (a batch can straddle a partition-file boundary when the
+    scan packs small files). The reference's per-segment search never
+    re-shards data to search it (JVectorReader.java:108-133); the previous
+    groupBy(centroid_id).applyInPandas shape hash-exchanged every quantized
+    byte and materialized a whole bucket per task — this shape moves no
+    rows and its kernel memory is bounded by the Arrow batch size.
+
+    Per (batch-slice, bucket, query) it emits the top-`fetch` candidates.
+    The union over batch slices is a superset of the per-bucket top-fetch
+    (any row in a bucket's true top-fetch also tops its own slice), so the
+    downstream global fetch cut selects exactly the same candidate set as
+    the one-task-per-bucket shape did. Returns (query_id, vec_id, approx).
+    """
+    first_cols = (
+        ["centroid_id", "vec_id", "pqcode"]
+        if codec == "pq"
+        else ["centroid_id", "vec_id", "qvec", "qscale", "qnorm"]
+    )
+
+    def adc(batches):
+        all_qids, qnv, qraw, psets, d, nf, met, cdc, lut_all, allow = bc.value
+        for batch in batches:
+            for cid, pdf in batch.groupby("centroid_id", sort=False):
+                wanted = psets.get(int(cid))
+                if not wanted:
+                    continue
+                if allow is not None and len(pdf):
+                    if len(allow) == 0:
+                        continue
+                    vid0 = pdf["vec_id"].to_numpy(np.int64)
+                    pos = np.minimum(np.searchsorted(allow, vid0),
+                                     len(allow) - 1)
+                    pdf = pdf[allow[pos] == vid0]
+                if not len(pdf):
+                    continue
+                qsel = np.flatnonzero(np.isin(all_qids, list(wanted)))
+                vid = pdf["vec_id"].to_numpy(np.int64)
+                if cdc == "pq":
+                    m = lut_all.shape[1]
+                    codes = np.frombuffer(
+                        b"".join(pdf["pqcode"]), dtype=np.uint8
+                    ).reshape(len(pdf), m).astype(np.int64)
+                    sims = np.empty((len(pdf), len(qsel)), dtype=np.float64)
+                    rows = np.arange(m)
+                    for j, qi in enumerate(qsel):
+                        sims[:, j] = lut_all[qi][rows[None, :], codes].sum(
+                            axis=1
+                        )
+                else:
+                    qv = np.frombuffer(
+                        b"".join(pdf["qvec"]), dtype=np.int8
+                    ).reshape(len(pdf), d).astype(np.float64)
+                    scale = pdf["qscale"].to_numpy(np.float64)
+                    qnorm = np.maximum(
+                        pdf["qnorm"].to_numpy(np.float64), 1e-30
+                    )
+                    if met == "cosine":
+                        # approx cosine = (scale * (int8 . qhat)) / qnorm —
+                        # one GEMM per (bucket, Arrow batch).
+                        sims = (qv @ qnv[qsel].T) * (scale / qnorm)[:, None]
+                    elif met == "innerproduct":
+                        sims = (qv @ qraw[qsel].T) * scale[:, None]
+                    else:  # l2: approx -(||v||^2 - 2 v.q + ||q||^2),
+                        # negated so bigger = closer like the other spaces.
+                        dots = (qv @ qraw[qsel].T) * scale[:, None]
+                        qsq = (qraw[qsel] * qraw[qsel]).sum(axis=1)
+                        sims = -(
+                            (qnorm * qnorm)[:, None]
+                            - 2.0 * dots
+                            + qsq[None, :]
+                        )
+                out_q, out_v, out_s = [], [], []
+                for j, qi in enumerate(qsel):
+                    col = sims[:, j]
+                    nn = min(nf, len(col))
+                    part = np.argpartition(-col, nn - 1)[:nn]
+                    out_q.append(np.full(nn, all_qids[qi], dtype=np.int32))
+                    out_v.append(vid[part])
+                    out_s.append(col[part])
+                yield pd.DataFrame(
+                    {"query_id": np.concatenate(out_q),
+                     "vec_id": np.concatenate(out_v),
+                     "approx": np.concatenate(out_s)}
+                )
+
+    return (
+        spark.read.parquet(index.buckets_path)
+        .where(F.col("centroid_id").isin(probed_cids))
+        .select(*first_cols)
+        .mapInPandas(adc, "query_id INT, vec_id LONG, approx DOUBLE")
     )
 
 
@@ -1056,92 +1560,19 @@ def ivf_search(
          allowed_sorted)
     )
 
-    def adc(pdf: pd.DataFrame) -> pd.DataFrame:
-        all_qids, qnv, qraw, psets, d, nf, met, cdc, lut_all, allow = bc.value
-        cid = int(pdf["centroid_id"].iloc[0])
-        wanted = psets.get(cid)
-        if not wanted:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype=np.int32),
-                 "vec_id": pd.Series([], dtype=np.int64),
-                 "approx": pd.Series([], dtype=np.float64)}
-            )
-        if allow is not None and len(pdf):
-            if len(allow) == 0:
-                pdf = pdf.iloc[:0]
-            else:
-                vid0 = pdf["vec_id"].to_numpy(np.int64)
-                pos = np.minimum(np.searchsorted(allow, vid0),
-                                 len(allow) - 1)
-                pdf = pdf[allow[pos] == vid0]
-        if not len(pdf):
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype=np.int32),
-                 "vec_id": pd.Series([], dtype=np.int64),
-                 "approx": pd.Series([], dtype=np.float64)}
-            )
-        qsel = np.flatnonzero(np.isin(all_qids, list(wanted)))
-        vid = pdf["vec_id"].to_numpy(np.int64)
-        if cdc == "pq":
-            m = lut_all.shape[1]
-            codes = np.frombuffer(
-                b"".join(pdf["pqcode"]), dtype=np.uint8
-            ).reshape(len(pdf), m).astype(np.int64)
-            sims = np.empty((len(pdf), len(qsel)), dtype=np.float64)
-            rows = np.arange(m)
-            for j, qi in enumerate(qsel):
-                sims[:, j] = lut_all[qi][rows[None, :], codes].sum(axis=1)
-        else:
-            qv = np.frombuffer(
-                b"".join(pdf["qvec"]), dtype=np.int8
-            ).reshape(len(pdf), d).astype(np.float64)
-            scale = pdf["qscale"].to_numpy(np.float64)
-            qnorm = np.maximum(pdf["qnorm"].to_numpy(np.float64), 1e-30)
-            if met == "cosine":
-                # approx cosine = (scale * (int8 . qhat)) / qnorm — one GEMM
-                # per (bucket, Arrow batch). Bigger = closer.
-                sims = (qv @ qnv[qsel].T) * (scale / qnorm)[:, None]
-            elif met == "innerproduct":
-                sims = (qv @ qraw[qsel].T) * scale[:, None]
-            else:  # l2: approx -(||v||^2 - 2 v.q + ||q||^2), negated so
-                # bigger = closer like the other spaces.
-                dots = (qv @ qraw[qsel].T) * scale[:, None]
-                qsq = (qraw[qsel] * qraw[qsel]).sum(axis=1)
-                sims = -((qnorm * qnorm)[:, None] - 2.0 * dots + qsq[None, :])
-        out_q, out_v, out_s = [], [], []
-        for j, qi in enumerate(qsel):
-            col = sims[:, j]
-            nn = min(nf, len(col))
-            part = np.argpartition(-col, nn - 1)[:nn]
-            out_q.append(np.full(nn, all_qids[qi], dtype=np.int32))
-            out_v.append(vid[part])
-            out_s.append(col[part])
-        return pd.DataFrame(
-            {"query_id": np.concatenate(out_q),
-             "vec_id": np.concatenate(out_v),
-             "approx": np.concatenate(out_s)}
-        )
-
-    first_cols = (
-        ["centroid_id", "vec_id", "pqcode"]
-        if codec == "pq"
-        else ["centroid_id", "vec_id", "qvec", "qscale", "qnorm"]
-    )
-    first = (
-        spark.read.parquet(index.buckets_path)
-        .where(F.col("centroid_id").isin(probed_cids))
-        .select(*first_cols)
-        .groupBy("centroid_id")
-        .applyInPandas(adc, "query_id INT, vec_id LONG, approx DOUBLE")
-    )
+    first = _adc_first_pass(spark, index, probed_cids, codec, bc)
+    if index.n_replicas > 1:
+        # A boundary vector sits in two probed buckets; dedup (query_id,
+        # vec_id) BEFORE the fetch cut so replica copies (identical approx
+        # scores) can't consume over-fetch slots and shrink the candidate
+        # pool.
+        first = first.dropDuplicates(["query_id", "vec_id"])
     wf = W.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
     cand = (
         first.withColumn("r", F.row_number().over(wf))
         .where(F.col("r") <= fetch)
         .select("query_id", "vec_id")
     )
-    if index.n_replicas > 1:
-        cand = cand.dropDuplicates(["query_id", "vec_id"])
 
     # Exact rerank: second partition-pruned scan reading full precision for
     # the surviving candidates only.

@@ -159,3 +159,49 @@ def test_frozen_index_survives_merge(spark, tmp_path):
         for r in res.itertuples(index=False)
     ]
     assert got == EXPECTED
+
+
+def test_frozen_vector_index_survives_compaction(spark, tmp_path):
+    """Upgrade path for the vector index: a PRE-generation frozen index
+    (legacy buckets/ layout, no bucket_gen field) compacted by the current
+    code must flip to the generation-pointer layout and serve the pinned
+    results unchanged — covers the round-4 manifest field."""
+    import shutil
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        compact_vector_index,
+        ivf_search_exact,
+        load_vector_index,
+    )
+
+    work = str(tmp_path / "bwc_vec_copy")
+    shutil.copytree(VEC_FIXTURE, work)
+    assert "bucket_gen" not in load_vector_index(work).manifest
+    m = compact_vector_index(spark, work)
+    assert m["bucket_gen"] == 1
+    idx = load_vector_index(work)
+    assert idx.buckets_path.endswith("buckets-g0001")
+    assert not os.path.exists(os.path.join(work, "buckets"))
+
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from make_bwc_fixture import bwc_vectors
+
+    emb = spark.createDataFrame(
+        bwc_vectors(), "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    q = emb.where("vec_id < 2").selectExpr(
+        "cast(vec_id as int) as query_id", "embedding as query_vec"
+    )
+    res = (
+        ivf_search_exact(spark, idx, q, k=5, nprobe=2)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = [
+        (int(r.query_id), int(r.rank), int(r.vec_id),
+         round(float(r.cosine), 6))
+        for r in res.itertuples(index=False)
+    ]
+    assert got == VEC_EXPECTED

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from opensearch_jvector_plugin_spark.operators.build import (
@@ -118,8 +119,52 @@ def test_multimodal_plumbing(spark):
     fake_pixels = decode_image(assets, fake=True).toPandas()
     assert all(len(p) == 16 for p in fake_pixels["pixels"])
 
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        decode_image(assets, fake=False).collect()
+    from opensearch_jvector_plugin_spark.operators.multimodal import (
+        _pil_image,
+    )
+
+    if _pil_image() is None:
+        # Without Pillow the real-decode path must fail honestly at the
+        # kernel, with the install hint.
+        with pytest.raises(
+            Exception, match="NotImplementedError|real image decode"
+        ):
+            decode_image(assets, fake=False).collect()
+
+
+def test_decode_image_real_with_pil(spark):
+    """Real decode path: runs only when Pillow is installed (skips with
+    reason otherwise — no imaging libs in this dev container). A genuine
+    PNG payload must decode to the 4x4 grayscale thumbnail."""
+    pytest.importorskip(
+        "PIL", reason="Pillow not installed; real decode path needs it"
+    )
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (200, 10, 10)).save(buf, format="PNG")
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1],
+            "kind": ["image"],
+            "payload": [bytearray(buf.getvalue())],
+            "width": [32],
+            "height": [32],
+            "duration_ms": [None],
+        }
+    )
+    from opensearch_jvector_plugin_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+    )
+
+    assets = spark.createDataFrame(pdf, ASSET_SCHEMA)
+    out = decode_image(assets, fake=False).toPandas()
+    assert len(out) == 1
+    assert len(out["pixels"][0]) == 16
+    # A uniform red image converts to a uniform grayscale value.
+    assert len(set(out["pixels"][0])) == 1
 
 
 def test_build_and_merge_write_metrics(spark, tiny_corpus_pdf, tmp_path):

@@ -449,15 +449,22 @@ def test_compact_preserves_results(spark, tmp_path):
 
     m = compact_vector_index(spark, d)
     assert m["compactions"] == 1
+    # Generation-pointer commit: the new generation dir is the active
+    # table, the pre-compaction layout is GC'd, live data was never renamed.
+    assert m["bucket_gen"] == 1
+    assert not os.path.exists(os.path.join(d, "buckets"))
     # Lineage/metrics log records the full build->append->compact history.
     from opensearch_jvector_plugin_spark.plans.metrics import read_metrics
 
     ops = [r["op"] for r in read_metrics(d)]
     assert ops == ["vector_index_build", "vector_index_append",
                    "vector_index_append", "vector_index_compact"]
-    files_after = len(glob.glob(os.path.join(d, "buckets", "*", "*.parquet")))
-    assert files_after < files_before
     idx2 = load_vector_index(d)
+    assert idx2.buckets_path.endswith("buckets-g0001")
+    files_after = len(
+        glob.glob(os.path.join(idx2.buckets_path, "*", "*.parquet"))
+    )
+    assert files_after < files_before
     assert spark.read.parquet(idx2.buckets_path).count() == 500
     after = ivf_search_exact(spark, idx2, q, k=10, nprobe=8).toPandas()
     pd.testing.assert_frame_equal(
