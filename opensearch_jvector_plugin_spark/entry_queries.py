@@ -359,22 +359,36 @@ ORACLE_CENTROIDS_DIR = os.path.join(
 
 
 def _vector_index_for(
-    spark: SparkSession, sf_dir: str, metric: str = "cosine"
+    spark: SparkSession, sf_dir: str, metric: str = "cosine",
+    auto_k: bool = False,
 ) -> str:
     """Build (once per process per metric) the trained, persisted IVF index
     over the sf's embeddings; export the content-digest-keyed centroid twin
-    for the DuckDB oracle."""
+    for the DuckDB oracle. auto_k=True exercises the scale-aware
+    n_centroids rule end-to-end (n_centroids=None, n_replicas=1): the twin
+    is exported at the SAME k the rule derives, computed here from the
+    corpus shape so both sides stay keyed identically."""
     from .operators.vector_index import build_vector_index, export_centroids_twin
 
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if auto_k:
+        import pyarrow.parquet as pq
+
+        from .operators.vector_index import auto_n_centroids
+
+        t = pq.read_table(emb_path, columns=["embedding"])
+        k = auto_n_centroids(t.num_rows, len(t.column("embedding")[0]))
+        reps, requested = 1, None
+    else:
+        k, reps, requested = IVF_CENTROIDS, IVF_REPLICAS, IVF_CENTROIDS
     export_centroids_twin(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS, metric=metric,
+        emb_path, ORACLE_CENTROIDS_DIR, n_centroids=k, metric=metric,
     )
-    key = (sf_dir, metric)
+    key = (sf_dir, metric, auto_k)
     if key not in _VIDX_CACHE:
         d = tempfile.mkdtemp(prefix="ojs_vidx_")
-        build_vector_index(_emb(spark, sf_dir), d, n_centroids=IVF_CENTROIDS,
-                           metric=metric, n_replicas=IVF_REPLICAS)
+        build_vector_index(_emb(spark, sf_dir), d, n_centroids=requested,
+                           metric=metric, n_replicas=reps)
         _VIDX_CACHE[key] = d
     return _VIDX_CACHE[key]
 
@@ -458,6 +472,41 @@ def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_exact(
         spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
         nprobe=IVF_TRAINED_NPROBE, allowed=allowed,
+    )
+
+
+ANN_RADIAL_MAX_DISTANCE_L2 = 1.8
+
+
+def q_ann_ivf_radial_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial max_distance mode on the l2 index (the distance-space half of
+    RNNQuery, KNNQueryBuilder.java:241-258), served via the quantized
+    path: conservative int8-ADC distance lower bound first, exact
+    verification of survivors — bit-identical to exact scoring."""
+    from .operators.vector_index import ivf_search_radial, load_vector_index
+
+    idx = load_vector_index(_vector_index_for(spark, sf_dir, metric="l2"))
+    return ivf_search_radial(
+        spark, idx, _ann_queries(spark, sf_dir),
+        max_distance=ANN_RADIAL_MAX_DISTANCE_L2, nprobe=IVF_TRAINED_NPROBE,
+        codec="sq",
+    )
+
+
+def q_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF built with the SCALE-AWARE n_centroids rule (round 4:
+    auto_n_centroids = max(round(sqrt N), 64MiB-bucket byte floor) — the
+    FilterIdsSelector.java:78-109 cost-model discipline applied to index
+    geometry). The oracle twin is exported at the same derived k, so this
+    row proves the rule end-to-end against DuckDB."""
+    from .operators.vector_index import ivf_search_exact, load_vector_index
+
+    idx = load_vector_index(
+        _vector_index_for(spark, sf_dir, auto_k=True)
+    )
+    return ivf_search_exact(
+        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        nprobe=IVF_AUTO_NPROBE,
     )
 
 
@@ -1173,6 +1222,7 @@ def _ivf_trained_sql(
     nprobe: int = IVF_TRAINED_NPROBE,
     replicas: int = IVF_REPLICAS,
     cand_filter: str = "",
+    k_centroids: int = IVF_CENTROIDS,
 ) -> str:
     """Oracle for the trained+persisted IVF index, parameterized by space.
 
@@ -1199,7 +1249,7 @@ WITH cents AS (
   SELECT centroid_id::INT AS centroid_id, cvec::DOUBLE[] AS cvec
   FROM read_parquet('{ORACLE_CENTROIDS_DIR}/*.parquet')
   WHERE digest = {DIGEST_SQL_EMBEDDINGS}
-    AND metric = '{metric}' AND k_centroids = {IVF_CENTROIDS}
+    AND metric = '{metric}' AND k_centroids = {k_centroids}
 ),
 e AS (
   SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1256,28 +1306,46 @@ SQL_ANN_IVF_TRAINED_L2 = _ivf_trained_sql("l2")
 SQL_ANN_IVF_TRAINED_IP = _ivf_trained_sql("innerproduct")
 
 
-def _ivf_radial_sql(threshold: float) -> str:
+def _ivf_radial_sql(threshold: float, metric: str = "cosine") -> str:
     """Radial twin of the trained-IVF oracle: same cents/assign/probes
-    CTEs (cosine space), but the final cut is metric >= threshold on the
-    UNROUNDED fold value (matching ivf_search_radial) instead of rank<=k."""
-    base = _ivf_trained_sql("cosine")
+    CTEs, but the final cut is a space-matched threshold on the UNROUNDED
+    fold value (matching ivf_search_radial) instead of rank<=k —
+    metric >= threshold for score-like spaces (cosine/ip), <= for l2."""
+    base = _ivf_trained_sql(metric)
+    if metric == "cosine":
+        cmp_, order, out = ">=", "DESC", "cosine"
+    elif metric == "l2":
+        cmp_, order, out = "<=", "ASC", "distance"
+    else:
+        cmp_, order, out = ">=", "DESC", "distance"
     head, _, _ = base.rpartition("ranked AS (")
     return (
         head
         + f"""ranked AS (
   SELECT query_id, vec_id, m,
          row_number() OVER (
-           PARTITION BY query_id ORDER BY round(m, 6) DESC, vec_id ASC
+           PARTITION BY query_id ORDER BY round(m, 6) {order}, vec_id ASC
          ) AS rank
-  FROM scored WHERE m >= {threshold!r}
+  FROM scored WHERE m {cmp_} {threshold!r}
 )
-SELECT query_id, rank::INT AS rank, vec_id, round(m, 6) AS cosine
+SELECT query_id, rank::INT AS rank, vec_id, round(m, 6) AS {out}
 FROM ranked
 """
     )
 
 
 SQL_ANN_IVF_RADIAL = _ivf_radial_sql(ANN_RADIAL_MIN_SCORE)
+SQL_ANN_IVF_RADIAL_L2 = _ivf_radial_sql(1.8, metric="l2")
+
+# Auto-k oracle: every test sf ships a 500-row embeddings table (the
+# digest, not the count, keys the twin), so the scale-aware rule
+# auto_n_centroids(500, dim=64) resolves to round(sqrt(500)) = 22 at both
+# oracle sfs; the Spark side computes the same k from the same inputs.
+IVF_AUTO_K = 22
+IVF_AUTO_NPROBE = 6
+SQL_ANN_IVF_AUTO = _ivf_trained_sql(
+    "cosine", nprobe=IVF_AUTO_NPROBE, replicas=1, k_centroids=IVF_AUTO_K
+)
 SQL_ANN_IVF_FILTERED = _ivf_trained_sql(
     "cosine",
     cand_filter=(
@@ -1368,6 +1436,8 @@ QUERIES = {
     "ann_ivf_trained_l2": q_ann_ivf_trained_l2,
     "ann_ivf_trained_ip": q_ann_ivf_trained_ip,
     "ann_ivf_radial": q_ann_ivf_radial,
+    "ann_ivf_radial_l2": q_ann_ivf_radial_l2,
+    "ann_ivf_auto": q_ann_ivf_auto,
     "ann_ivf_filtered": q_ann_ivf_filtered,
     "transcript_bm25_indexed": q_transcript_bm25_indexed,
     "topk_per_group": q_topk_per_group,
@@ -1405,6 +1475,8 @@ ORACLES = {
     "ann_ivf_trained_l2": SQL_ANN_IVF_TRAINED_L2,
     "ann_ivf_trained_ip": SQL_ANN_IVF_TRAINED_IP,
     "ann_ivf_radial": SQL_ANN_IVF_RADIAL,
+    "ann_ivf_radial_l2": SQL_ANN_IVF_RADIAL_L2,
+    "ann_ivf_auto": SQL_ANN_IVF_AUTO,
     "ann_ivf_filtered": SQL_ANN_IVF_FILTERED,
     "transcript_bm25_indexed": SQL_TRANSCRIPT_BM25,
     "topk_per_group": SQL_TOPK_PER_GROUP,

@@ -169,6 +169,25 @@ def _segment_granularity(
     return postings
 
 
+def _filter_terms(spark: SparkSession, postings: DataFrame, terms) -> DataFrame:
+    """Cardinality-switched term filter on the postings scan — the
+    FilterIdsSelector.java:78-109 cost-model discipline, applied to the
+    DRIVER this time: a small In() pushes into the parquet scan (row-group
+    pruning), but CONSTRUCTING a multi-thousand-literal In() costs seconds
+    of serial driver time (measured at 5000 terms: 3.3 s py4j literal
+    conversion + 2.2 s optimizer InSet rewrite — BENCH.md round 4), a
+    fixed cost that caps batched-query scaling efficiency no matter how
+    many executors run the scan. Large term lists broadcast-join instead:
+    one createDataFrame call, a broadcast hash join executor-side, and the
+    postings never shuffle. The parquet range pushdown lost by not using
+    In() is negligible for large lists (their min..max spans the scan)."""
+    terms = list(terms)
+    if len(terms) <= 64:
+        return postings.where(F.col("term").isin(terms))
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term STRING")
+    return postings.join(F.broadcast(terms_df), "term")
+
+
 def search(
     spark: SparkSession,
     index: IndexHandle,
@@ -203,7 +222,7 @@ def search(
             "merge_segments(); re-merge or search with use_merged=False"
         )
     base = index.merged_path if use_merged else index.segments_path
-    postings = spark.read.parquet(base).where(F.col("term").isin(terms))
+    postings = _filter_terms(spark, spark.read.parquet(base), terms)
     group_col = "seg_id"
     postings = _segment_granularity(spark, postings, index, group_col)
 
@@ -389,7 +408,7 @@ def search_min_score(
             "merge_segments(); re-merge or search with use_merged=False"
         )
     base = index.merged_path if use_merged else index.segments_path
-    postings = spark.read.parquet(base).where(F.col("term").isin(terms))
+    postings = _filter_terms(spark, spark.read.parquet(base), terms)
     # Same per-segment task granularity as search() (_segment_granularity).
     postings = _segment_granularity(spark, postings, index, "seg_id")
 

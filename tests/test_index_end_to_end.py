@@ -67,6 +67,34 @@ def test_search_rank_identity_single_and_multi_segment(
         assert_rank_identical(got, want)
 
 
+def test_search_rank_identity_many_terms(spark, built, small_corpus_pdf):
+    """A query batch spanning MORE than 64 unique terms routes the postings
+    filter through the broadcast-join branch of _filter_terms (round 4:
+    the multi-thousand-literal In() cost seconds of serial driver time per
+    batch); results must stay rank-identical to the oracle."""
+    from opensearch_jvector_plugin_spark.functions.tokenizer import (
+        tokenize_text,
+    )
+
+    vocab = sorted(
+        {t for txt in small_corpus_pdf["text"] for t in tokenize_text(txt)}
+    )
+    assert len(vocab) > 64
+    terms = vocab[:96]
+    rows = [
+        (i, " ".join(terms[i * 3: i * 3 + 3]), 10)
+        for i in range(32)
+    ]
+    queries = pd.DataFrame(rows, columns=["query_id", "query_text", "k"])
+    want = oracle_topk(build_oracle_index(small_corpus_pdf), queries)
+    index = load_index(built[1])
+    got = search(spark, index, queries).toPandas()
+    assert_rank_identical(got, want)
+    # The plan must show the broadcast join, not a 96-literal In filter.
+    plan = search(spark, index, queries)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_merge_then_query_identity(spark, built, small_corpus_pdf):
     one, eight = built
     index = load_index(eight)
