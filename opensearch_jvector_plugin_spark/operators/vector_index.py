@@ -528,6 +528,30 @@ def pq_encode(vecs: np.ndarray, books: np.ndarray, metric: str) -> np.ndarray:
     return codes
 
 
+def pq_encode_with_err(
+    vecs: np.ndarray, books: np.ndarray, metric: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(codes uint8 (n, m), err float64 (n,)): PQ codes plus the per-vector
+    reconstruction-error norm ||v_enc - reconstruction||_2, where v_enc is
+    the normalized vector for cosine (what the codes encode) and the raw
+    vector otherwise. Stored at build time, the error is the exact Cauchy-
+    Schwarz radius for conservative ADC bounds on the PQ codec:
+      cosine: |cos(v,u) - adc| <= err          (adc = recon . u_hat)
+      ip:     |ip(v,u) - adc|  <= err * ||u||
+      l2:     | ||v-u|| - ||recon-u|| | <= err
+    — the PQ twin of the int8 bound used by the sq radial path."""
+    vecs = np.asarray(vecs, dtype=np.float64)
+    codes = pq_encode(vecs, books, metric)
+    if metric == "cosine":
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1), 1e-30)[:, None]
+    m, k, sub = books.shape
+    err2 = np.zeros(len(vecs), dtype=np.float64)
+    for s in range(m):
+        diff = vecs[:, s * sub : (s + 1) * sub] - books[s][codes[:, s]]
+        err2 += (diff * diff).sum(axis=1)
+    return codes, np.sqrt(err2)
+
+
 def pq_lut(query: np.ndarray, books: np.ndarray, metric: str) -> np.ndarray:
     """(m, 256) ADC lookup table for one query: per subspace, the partial
     dot (cosine/ip) or partial squared distance (l2) against every codebook
@@ -550,7 +574,7 @@ def pq_lut(query: np.ndarray, books: np.ndarray, metric: str) -> np.ndarray:
 
 _BUCKET_SCHEMA = (
     "vec_id LONG, centroid_id INT, replica_rank INT, embedding ARRAY<FLOAT>, "
-    "qvec BINARY, qscale DOUBLE, qnorm DOUBLE, pqcode BINARY"
+    "qvec BINARY, qscale DOUBLE, qnorm DOUBLE, pqcode BINARY, pqerr DOUBLE"
 )
 
 
@@ -595,10 +619,11 @@ def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
             q, scale, qnorm = quantize_int8(vecs)
             qbytes = [r.tobytes() for r in q]
             if bb is not None:
-                codes = pq_encode(vecs, bb, metric)
+                codes, pqerr = pq_encode_with_err(vecs, bb, metric)
                 pbytes = [r.tobytes() for r in codes]
             else:
                 pbytes = [None] * len(ids)
+                pqerr = np.full(len(ids), np.nan)
             embs = list(pdf["embedding"])
             yield pd.DataFrame(
                 {
@@ -614,6 +639,7 @@ def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
                     "qscale": np.tile(scale, reps),
                     "qnorm": np.tile(qnorm, reps),
                     "pqcode": pbytes * reps,
+                    "pqerr": np.tile(pqerr, reps),
                 }
             )
 
@@ -752,6 +778,10 @@ def build_vector_index(
         "metric": metric,
         "n_replicas": reps,
         "pq_m": int(pq_m) if pq_m is not None else None,
+        # pqerr column present: per-vector PQ reconstruction-error norm,
+        # required by the radial codec="pq" bound (absent in pre-round-4
+        # indexes — radial pq on those raises a clear error).
+        "pq_err_col": bool(pq_m is not None),
         "seed": int(seed),
         "sample_stride": int(stride),
         "trained_on": int(len(sample_pdf)),
@@ -1186,6 +1216,7 @@ def _radial_adc_survivors(
     probed_cids: list,
     min_score: float | None,
     max_distance: float | None,
+    codec: str = "sq",
 ) -> DataFrame:
     """Conservative ADC threshold cut for radial search: (query_id, vec_id)
     pairs whose int8-reconstructed metric COULD pass the exact threshold.
@@ -1206,7 +1237,15 @@ def _radial_adc_survivors(
     net) are provably outside the radius; survivors are exact-verified by
     the caller. Runs as mapInPandas over the partition-pruned scan of the
     quantized columns only — no exchange, batch-bounded memory (the same
-    shape as _adc_first_pass)."""
+    shape as _adc_first_pass).
+
+    codec="pq": same two-pass shape over the m-byte PQ codes plus the
+    STORED per-vector reconstruction-error norm (pqerr, written at build —
+    pq_encode_with_err): the ADC lookup-table value is off from the exact
+    metric by at most pqerr (cosine; * ||u|| for ip; additive on the l2
+    distance), so `adc +/- pqerr` is the conservative cut. A null pqerr
+    (rows appended to a pre-round-4 index) cannot be bounded and is KEPT
+    — conservative, never wrong."""
     metric = index.metric
     qmat = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in qpdf["query_vec"]]
@@ -1219,12 +1258,18 @@ def _radial_adc_survivors(
     for r in probes.itertuples(index=False):
         probe_sets.setdefault(int(r.centroid_id), set()).add(int(r.query_id))
     thresh = float(min_score) if min_score is not None else float(max_distance)
+    luts = None
+    if codec == "pq":
+        books = index.pq_codebooks()
+        luts = np.stack(
+            [pq_lut(qmat[i], books, metric) for i in range(len(qmat))]
+        )
     bc = spark.sparkContext.broadcast(
-        (qids, qn, qmat, unorm, probe_sets, dim, metric, thresh)
+        (qids, qn, qmat, unorm, probe_sets, dim, metric, thresh, codec, luts)
     )
 
     def cut(batches):
-        all_qids, qnv, qraw, un, psets, d, met, t = bc.value
+        all_qids, qnv, qraw, un, psets, d, met, t, cdc, lut_all = bc.value
         slack = RADIAL_ADC_SLACK * (1.0 + abs(t))
         for batch in batches:
             for cid, pdf in batch.groupby("centroid_id", sort=False):
@@ -1233,33 +1278,64 @@ def _radial_adc_survivors(
                     continue
                 qsel = np.flatnonzero(np.isin(all_qids, list(wanted)))
                 vid = pdf["vec_id"].to_numpy(np.int64)
-                qv = np.frombuffer(
-                    b"".join(pdf["qvec"]), dtype=np.int8
-                ).reshape(len(pdf), d).astype(np.float64)
-                scale = pdf["qscale"].to_numpy(np.float64)
-                qnorm = pdf["qnorm"].to_numpy(np.float64)
-                E = scale * (np.sqrt(d) / 2.0)
-                if met == "cosine":
-                    num = (qv @ qnv[qsel].T) * scale[:, None] + E[:, None]
-                    denom = np.where(
-                        num > 0,
-                        np.maximum(qnorm - E, 1e-30)[:, None],
-                        (qnorm + E)[:, None],
-                    )
-                    ok = (num / denom) >= t - slack
-                elif met == "innerproduct":
-                    ub = (qv @ qraw[qsel].T) * scale[:, None] + (
-                        E[:, None] * un[qsel][None, :]
-                    )
-                    ok = ub >= t - slack
-                else:  # l2 (max_distance on squared distance)
-                    dots = (qv @ qraw[qsel].T) * scale[:, None]
-                    usq = (qraw[qsel] * qraw[qsel]).sum(axis=1)
-                    approx = np.maximum(
-                        (qnorm * qnorm)[:, None] - 2.0 * dots + usq[None, :],
-                        0.0,
-                    )
-                    ok = np.sqrt(approx) <= np.sqrt(t) + E[:, None] + slack
+                if cdc == "pq":
+                    m = lut_all.shape[1]
+                    codes = np.frombuffer(
+                        b"".join(pdf["pqcode"]), dtype=np.uint8
+                    ).reshape(len(pdf), m).astype(np.int64)
+                    pqe = pdf["pqerr"].to_numpy(np.float64)
+                    pqe = np.where(np.isfinite(pqe), pqe, np.inf)
+                    adc = np.empty((len(pdf), len(qsel)), dtype=np.float64)
+                    rws = np.arange(m)
+                    for j, qi in enumerate(qsel):
+                        adc[:, j] = lut_all[qi][rws[None, :], codes].sum(
+                            axis=1
+                        )
+                    if met == "cosine":
+                        ok = adc + pqe[:, None] >= t - slack
+                    elif met == "innerproduct":
+                        ok = (
+                            adc + pqe[:, None] * un[qsel][None, :]
+                            >= t - slack
+                        )
+                    else:  # l2: lut is NEGATED approx squared distance
+                        with np.errstate(invalid="ignore"):
+                            lower = np.sqrt(np.maximum(-adc, 0.0)) - pqe[
+                                :, None
+                            ]
+                        ok = lower <= np.sqrt(t) + slack
+                else:
+                    qv = np.frombuffer(
+                        b"".join(pdf["qvec"]), dtype=np.int8
+                    ).reshape(len(pdf), d).astype(np.float64)
+                    scale = pdf["qscale"].to_numpy(np.float64)
+                    qnorm = pdf["qnorm"].to_numpy(np.float64)
+                    E = scale * (np.sqrt(d) / 2.0)
+                    if met == "cosine":
+                        num = (qv @ qnv[qsel].T) * scale[:, None] + E[:, None]
+                        denom = np.where(
+                            num > 0,
+                            np.maximum(qnorm - E, 1e-30)[:, None],
+                            (qnorm + E)[:, None],
+                        )
+                        ok = (num / denom) >= t - slack
+                    elif met == "innerproduct":
+                        ub = (qv @ qraw[qsel].T) * scale[:, None] + (
+                            E[:, None] * un[qsel][None, :]
+                        )
+                        ok = ub >= t - slack
+                    else:  # l2 (max_distance on squared distance)
+                        dots = (qv @ qraw[qsel].T) * scale[:, None]
+                        usq = (qraw[qsel] * qraw[qsel]).sum(axis=1)
+                        approx = np.maximum(
+                            (qnorm * qnorm)[:, None]
+                            - 2.0 * dots
+                            + usq[None, :],
+                            0.0,
+                        )
+                        ok = (
+                            np.sqrt(approx) <= np.sqrt(t) + E[:, None] + slack
+                        )
                 rows, cols = np.nonzero(ok)
                 if not len(rows):
                     continue
@@ -1268,10 +1344,15 @@ def _radial_adc_survivors(
                      "vec_id": vid[rows]}
                 )
 
+    first_cols = (
+        ["centroid_id", "vec_id", "pqcode", "pqerr"]
+        if codec == "pq"
+        else ["centroid_id", "vec_id", "qvec", "qscale", "qnorm"]
+    )
     return (
         spark.read.parquet(index.buckets_path)
         .where(F.col("centroid_id").isin(probed_cids))
-        .select("centroid_id", "vec_id", "qvec", "qscale", "qnorm")
+        .select(*first_cols)
         .mapInPandas(cut, "query_id INT, vec_id LONG")
     )
 
@@ -1309,9 +1390,22 @@ def ivf_search_radial(
     precision for the exact fold-order threshold + rank. Results are
     bit-identical to codec="exact" (the oracle twin); the exact metric is
     evaluated on survivors instead of every probed row.
+    codec="pq": the same two-pass shape over the m-byte PQ codes, using
+    the per-vector reconstruction-error norm stored at build
+    (pq_encode_with_err) as the conservative radius — the smallest-bytes
+    radial first pass. Requires an index built with pq_m (round 4+, which
+    records pq_err_col in the manifest).
     codec="exact": single-pass full-precision scoring."""
-    if codec not in ("sq", "exact"):
+    if codec not in ("sq", "pq", "exact"):
         raise ValueError(f"unknown codec {codec!r}")
+    if codec == "pq":
+        if index.pq_m is None:
+            raise ValueError("index was built without PQ codes (pq_m=None)")
+        if not index.manifest.get("pq_err_col"):
+            raise ValueError(
+                "index predates the stored PQ reconstruction error "
+                "(pq_err_col); rebuild or use codec='sq'"
+            )
     expr_fn, out_col, ascending = _metric_col(index.metric)
     n_set = sum(x is not None for x in (min_score, max_distance))
     if n_set != 1:

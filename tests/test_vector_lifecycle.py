@@ -389,30 +389,33 @@ def test_quantized_results_unchanged_after_deshuffle(spark, real_vidx):
             assert want == got, (codec, qid)
 
 
-def test_radial_sq_equals_exact(spark, real_vidx, tmp_path):
-    """codec='sq' radial (conservative ADC cut + exact verify) must return
-    the IDENTICAL frame as single-pass exact scoring — the error bound
-    admits no false negatives, and the verify removes false positives."""
+def test_radial_sq_and_pq_equal_exact(spark, real_vidx, tmp_path):
+    """codec='sq' and codec='pq' radial (conservative ADC cut + exact
+    verify) must return the IDENTICAL frame as single-pass exact scoring —
+    neither error bound admits false negatives, and the verify removes
+    false positives. pq uses the reconstruction-error norm stored at
+    build (pq_encode_with_err)."""
     idx = load_vector_index(real_vidx)
     q = queries_df(spark)
     for ms in (0.05, 0.3, -0.2):
-        a = (
-            ivf_search_radial(spark, idx, q, min_score=ms, nprobe=6,
-                              codec="sq")
-            .toPandas().sort_values(["query_id", "rank"])
-            .reset_index(drop=True)
-        )
         b = (
             ivf_search_radial(spark, idx, q, min_score=ms, nprobe=6,
                               codec="exact")
             .toPandas().sort_values(["query_id", "rank"])
             .reset_index(drop=True)
         )
-        pd.testing.assert_frame_equal(a, b)
-        assert len(a) > 0
+        for codec in ("sq", "pq"):
+            a = (
+                ivf_search_radial(spark, idx, q, min_score=ms, nprobe=6,
+                                  codec=codec)
+                .toPandas().sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, b)
+        assert len(b) > 0
 
 
-def test_radial_sq_equals_exact_l2_and_ip(spark, tmp_path):
+def test_radial_quantized_equals_exact_l2_and_ip(spark, tmp_path):
     emb_rows = _good_rows(200, dim=8)
     q_rows = _good_rows(3, dim=8)
     for metric, kw in (
@@ -421,22 +424,36 @@ def test_radial_sq_equals_exact_l2_and_ip(spark, tmp_path):
     ):
         d = str(tmp_path / f"v_{metric}")
         build_vector_index(
-            _emb_df(spark, emb_rows, dim=8), d, n_centroids=4, metric=metric
+            _emb_df(spark, emb_rows, dim=8), d, n_centroids=4, metric=metric,
+            pq_m=4,
         )
         idx = load_vector_index(d)
         q = _emb_df(spark, q_rows, dim=8).select(
             F.col("vec_id").cast("int").alias("query_id"),
             F.col("embedding").alias("query_vec"),
         )
-        a = (
-            ivf_search_radial(spark, idx, q, nprobe=4, codec="sq", **kw)
-            .toPandas().sort_values(["query_id", "rank"])
-            .reset_index(drop=True)
-        )
         b = (
             ivf_search_radial(spark, idx, q, nprobe=4, codec="exact", **kw)
             .toPandas().sort_values(["query_id", "rank"])
             .reset_index(drop=True)
         )
-        pd.testing.assert_frame_equal(a, b)
-        assert len(a) > 0, metric
+        for codec in ("sq", "pq"):
+            a = (
+                ivf_search_radial(spark, idx, q, nprobe=4, codec=codec, **kw)
+                .toPandas().sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, b, obj=f"{metric}/{codec}")
+        assert len(b) > 0, metric
+
+
+def test_radial_pq_requires_pq_index(spark, tmp_path):
+    d = str(tmp_path / "nopq")
+    build_vector_index(_emb_df(spark, _good_rows(50)), d, n_centroids=4)
+    idx = load_vector_index(d)
+    q = _emb_df(spark, _good_rows(1)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="pq_m=None"):
+        ivf_search_radial(spark, idx, q, min_score=0.5, codec="pq")
