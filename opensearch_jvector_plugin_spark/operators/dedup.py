@@ -614,6 +614,25 @@ def embedding_near_dup_pairs_bucketed(
         return spark.createDataFrame(
             [], "doc_a LONG, doc_b LONG, cosine DOUBLE"
         )
+    # Circuit breaker (KNNSettings.java:69-94 analog, plans/breaker.py):
+    # the pair kernel materializes BOTH buckets' quantized rows plus a
+    # chunk x bucket float64 bound matrix per task — estimate the worst
+    # pair from the per-bucket counts already collected and fail fast with
+    # the remedy (more centroids) instead of an executor OOM.
+    from ..plans.breaker import check_bytes, resolve_cap
+
+    cap = resolve_cap("maxBucketBytes", None, spark)
+    if cap is not None:
+        counts = {int(r["centroid_id"]): int(r["n"]) for r in stats}
+        dim = int(index.manifest.get("dim") or 0)
+        worst = max(counts.get(i, 0) + counts.get(j, 0) for i, j in pairs)
+        est = worst * (dim + 24) + min(chunk, worst) * worst * 8
+        check_bytes(
+            "maxBucketBytes", est, cap,
+            detail=f"worst bucket-pair of {worst} quantized rows (dim "
+            f"{dim}) + chunk bound matrix; rebuild with more centroids "
+            "or lower chunk",
+        )
     par = spark.sparkContext.defaultParallelism
     pairs_df = spark.createDataFrame(pairs, "i INT, j INT").repartition(
         min(len(pairs), par * 2)

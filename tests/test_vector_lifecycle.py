@@ -457,3 +457,19 @@ def test_radial_pq_requires_pq_index(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="pq_m=None"):
         ivf_search_radial(spark, idx, q, min_score=0.5, codec="pq")
+
+
+def test_circuit_breaker_guards_bucketed_neardup(spark, real_vidx):
+    from opensearch_jvector_plugin_spark.operators.dedup import (
+        embedding_near_dup_pairs_bucketed,
+    )
+
+    idx = load_vector_index(real_vidx)
+    spark.conf.set("spark.ojs.breaker.maxBucketBytes", "256")
+    try:
+        with pytest.raises(CircuitBreakerError, match="bucket-pair"):
+            embedding_near_dup_pairs_bucketed(spark, idx, threshold=0.9)
+    finally:
+        spark.conf.unset("spark.ojs.breaker.maxBucketBytes")
+    # Unconfigured breaker: the operator still runs.
+    embedding_near_dup_pairs_bucketed(spark, idx, threshold=0.95).count()
