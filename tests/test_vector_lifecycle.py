@@ -473,3 +473,25 @@ def test_circuit_breaker_guards_bucketed_neardup(spark, real_vidx):
         spark.conf.unset("spark.ojs.breaker.maxBucketBytes")
     # Unconfigured breaker: the operator still runs.
     embedding_near_dup_pairs_bucketed(spark, idx, threshold=0.95).count()
+
+
+def test_radial_survivor_pass_has_no_exchange(spark, real_vidx):
+    """The radial ADC cut must share _adc_first_pass's plan shape: kernel
+    applied directly over the partition-pruned scan, no Exchange."""
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        _probes,
+        _radial_adc_survivors,
+    )
+
+    idx = load_vector_index(real_vidx)
+    qp = queries_df(spark).toPandas()
+    probes = _probes(idx, qp, 2)
+    cids = sorted(set(int(c) for c in probes["centroid_id"]))
+    for codec in ("sq", "pq"):
+        surv = _radial_adc_survivors(
+            spark, idx, qp, probes, cids, 0.2, None, codec=codec
+        )
+        plan = surv._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, codec
+        assert "centroid_id" in plan, codec
+        surv.count()
