@@ -227,3 +227,91 @@ def test_stale_merge_detected_after_append(spark, small_corpus_pdf, tmp_path):
     merge_segments(spark, load_index(d))
     got2 = search(spark, load_index(d), queries, use_merged=True).toPandas()
     assert_rank_identical(got2, want)
+
+
+def test_streaming_epoch_exactly_once(spark, small_corpus_pdf, tmp_path):
+    """Round 4: the epoch journal makes append_batch exactly-once under
+    every foreachBatch re-delivery scenario — full re-delivery is a no-op,
+    and a partial-crash retry COMPLETES the crashed attempt at the same
+    segment ids instead of duplicating the batch at new ones (the failure
+    the bare manifest-resume could not prevent)."""
+    import glob
+    import json
+
+    from opensearch_jvector_plugin_spark.streaming.incremental import (
+        _read_stream_log,
+        _write_stream_log,
+    )
+
+    pdf = small_corpus_pdf
+    d = str(tmp_path / "sidx")
+    b1 = spark.createDataFrame(pdf.iloc[:1000].drop(columns=["doc_id"]))
+    b2 = spark.createDataFrame(pdf.iloc[1000:].drop(columns=["doc_id"]))
+    append_batch(b1, d, seg_size=250, batch_id=0)
+    append_batch(b2, d, seg_size=250, batch_id=1)
+    assert load_index(d).n_docs == 2000
+
+    # Full re-delivery of both epochs: no-ops.
+    append_batch(b1, d, seg_size=250, batch_id=0)
+    append_batch(b2, d, seg_size=250, batch_id=1)
+    idx = load_index(d)
+    assert idx.n_docs == 2000 and idx.n_segments == 8
+
+    # Partial-crash retry: forge the mid-append state — batch 1's LAST
+    # segment uncommitted, its epoch still pending in the journal.
+    log = _read_stream_log(d)
+    base = int(log["committed"]["1"]["base_seg"])
+    last = max(
+        int(p.split("seg-")[1].split(".")[0])
+        for p in glob.glob(os.path.join(d, "manifests", "seg-*.json"))
+    )
+    os.remove(os.path.join(d, "manifests", f"seg-{last:05d}.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(d, "segments", f"seg_id={last}"))
+    del log["committed"]["1"]
+    log["pending"] = {"batch_id": 1, "base_seg": base}
+    _write_stream_log(d, log)
+
+    append_batch(b2, d, seg_size=250, batch_id=1)  # the retried epoch
+    idx = load_index(d)
+    assert idx.n_docs == 2000 and idx.n_segments == 8
+    queries = reference_queries(2000)
+    want = oracle_topk(build_oracle_index(pdf), queries)
+    assert_rank_identical(search(spark, idx, queries).toPandas(), want)
+
+
+def test_streaming_stale_pending_rolled_back(spark, small_corpus_pdf,
+                                             tmp_path):
+    """A pending epoch that is never retried (possible only outside the
+    single-stream contract) is rolled back before the next append: its
+    partial segments are deleted so the index never serves a half batch."""
+    import shutil
+
+    from opensearch_jvector_plugin_spark.streaming.incremental import (
+        _read_stream_log,
+        _write_stream_log,
+    )
+
+    pdf = small_corpus_pdf
+    d = str(tmp_path / "sidx")
+    b1 = spark.createDataFrame(pdf.iloc[:1000].drop(columns=["doc_id"]))
+    b2 = spark.createDataFrame(pdf.iloc[1000:].drop(columns=["doc_id"]))
+    append_batch(b1, d, seg_size=250, batch_id=0)
+
+    # Forge a crashed batch 9: one orphan segment (a copy of segment 0)
+    # at the next free seg_id, pending in the journal.
+    shutil.copytree(os.path.join(d, "segments", "seg_id=0"),
+                    os.path.join(d, "segments", "seg_id=4"))
+    shutil.copyfile(os.path.join(d, "manifests", "seg-00000.json"),
+                    os.path.join(d, "manifests", "seg-00004.json"))
+    log = _read_stream_log(d)
+    log["pending"] = {"batch_id": 9, "base_seg": 4}
+    _write_stream_log(d, log)
+
+    append_batch(b2, d, seg_size=250, batch_id=2)
+    idx = load_index(d)
+    assert idx.n_docs == 2000 and idx.n_segments == 8
+    queries = reference_queries(2000)
+    want = oracle_topk(build_oracle_index(pdf), queries)
+    assert_rank_identical(search(spark, idx, queries).toPandas(), want)
