@@ -318,6 +318,36 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.lang_id(_docs(spark, sf_dir))
 
 
+CURATION_MIN_QUALITY = 0.5
+CURATION_LANG = "en"
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the composition a pretraining
+    pipeline runs over the raw corpus: exact dedup (keep the lowest-doc_id
+    copy of each content hash), quality gate, language filter. Three
+    JVM-side operators (dedup window, quality expressions, lang-ID
+    expressions) joined on doc_id; every stage is a projection of the same
+    documents scan, so Catalyst fuses the expression work and the only
+    shuffles are the dedup window and the doc_id equi-joins (AQE picks
+    broadcast when the filtered sides are small). Thresholds compare the
+    ROUND-6 output columns on both the Spark and oracle sides, so boundary
+    documents bin identically (the repo's cross-engine rank contract)."""
+    docs = _docs(spark, sf_dir)
+    qual = ts.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    lang = ts.lang_id(docs).select("doc_id", "lang_pred")
+    keep = dd.exact_dedup(docs).where(F.col("dup_rank") == 1).select("doc_id")
+    return (
+        keep.join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .where(
+            (F.col("quality") >= CURATION_MIN_QUALITY)
+            & (F.col("lang_pred") == CURATION_LANG)
+        )
+        .select("doc_id", "n_tokens", "quality", "lang_pred")
+    )
+
+
 # -------------------------------------------------------------- similarity ---
 
 
@@ -1075,6 +1105,17 @@ FROM b
 
 SQL_LANG_ID = _langid_sql()
 
+
+SQL_CURATION = f"""
+WITH q AS ({SQL_QUALITY}),
+l AS ({SQL_LANG_ID}),
+d AS (SELECT doc_id FROM ({SQL_DEDUP_EXACT}) WHERE dup_rank = 1)
+SELECT q.doc_id, q.n_tokens, q.quality, l.lang_pred
+FROM d JOIN q ON d.doc_id = q.doc_id JOIN l ON d.doc_id = l.doc_id
+WHERE q.quality >= {CURATION_MIN_QUALITY} AND l.lang_pred = '{CURATION_LANG}'
+"""
+
+
 SQL_ANN_BRUTEFORCE = f"""
 WITH e AS (
   SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1428,6 +1469,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "curation_pipeline": q_curation_pipeline,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_bruteforce_l2": q_ann_bruteforce_l2,
     "ann_bruteforce_ip": q_ann_bruteforce_ip,
@@ -1467,6 +1509,7 @@ ORACLES = {
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
+    "curation_pipeline": SQL_CURATION,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_bruteforce_l2": SQL_ANN_BRUTEFORCE_L2,
     "ann_bruteforce_ip": SQL_ANN_BRUTEFORCE_IP,
