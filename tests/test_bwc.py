@@ -205,3 +205,56 @@ def test_frozen_vector_index_survives_compaction(spark, tmp_path):
         for r in res.itertuples(index=False)
     ]
     assert got == VEC_EXPECTED
+
+
+def test_frozen_vector_index_accepts_current_appends(spark, tmp_path):
+    """Mixed-schema BWC: appending with CURRENT code (which writes the
+    round-4 pqerr column) into a PRE-round-4 frozen index must keep every
+    serving path working — the old files simply read pqerr as null, and
+    radial pq (which needs it) is gated off by the manifest flag."""
+    import shutil
+
+    import numpy as np
+    import pytest as _pytest
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        append_vectors,
+        ivf_search,
+        ivf_search_exact,
+        ivf_search_radial,
+        load_vector_index,
+    )
+
+    work = str(tmp_path / "bwc_vec_append")
+    shutil.copytree(VEC_FIXTURE, work)
+    rng = np.random.default_rng(5)
+    rows = [(100 + i, [float(x) for x in rng.normal(size=8)])
+            for i in range(12)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}),
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    m = append_vectors(emb, work, batch_id=0)
+    # Replicated fixture: 40 originals + 12 appends, 2 rows each.
+    idx = load_vector_index(work)
+    assert spark.read.parquet(idx.buckets_path).count() == (40 + 12) * 2
+    assert m["n_vecs"] == 52
+
+    q = emb.where("vec_id < 102").selectExpr(
+        "cast(vec_id as int) as query_id", "embedding as query_vec"
+    )
+    exact = ivf_search_exact(spark, idx, q, k=5, nprobe=4)
+    assert exact.count() == 10
+    # Quantized serving over the mixed files (sq reads qvec columns that
+    # exist in both generations; pq reads pqcode, also in both).
+    for codec in ("sq", "pq"):
+        got = ivf_search(spark, idx, q.toPandas(), k=5, nprobe=4,
+                         over_query=8, codec=codec)
+        assert got.count() == 10, codec
+    # Radial sq works; radial pq is gated (no pq_err_col in the manifest).
+    r = ivf_search_radial(spark, idx, q, min_score=0.2, nprobe=4,
+                          codec="sq")
+    assert r.count() > 0
+    with _pytest.raises(ValueError, match="pq_err_col"):
+        ivf_search_radial(spark, idx, q, min_score=0.2, codec="pq")
