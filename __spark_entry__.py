@@ -48,6 +48,12 @@ def oracle_sql() -> dict[str, str]:
     sf_dirs = set(glob.glob("/root/testdata/sf*"))
     if os.environ.get("OJS_TEST_SF_DIR"):
         sf_dirs.add(os.environ["OJS_TEST_SF_DIR"])
+    import pyarrow.parquet as pq
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        auto_n_centroids,
+    )
+
     for d in sorted(sf_dirs):
         p = os.path.join(d, "embeddings.parquet")
         if os.path.exists(p):
@@ -56,4 +62,11 @@ def oracle_sql() -> dict[str, str]:
                     p, ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS,
                     metric=metric,
                 )
+            # ann_ivf_auto's oracle selects the twin at the k the
+            # scale-aware rule derives for this corpus (round 4).
+            t = pq.read_table(p, columns=["embedding"])
+            k_auto = auto_n_centroids(t.num_rows, len(t.column("embedding")[0]))
+            export_centroids_twin(
+                p, ORACLE_CENTROIDS_DIR, n_centroids=k_auto, metric="cosine",
+            )
     return dict(ORACLES)
