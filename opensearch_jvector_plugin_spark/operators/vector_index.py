@@ -1428,12 +1428,11 @@ def ivf_search_radial(
         F.col("query_id").cast("int").alias("query_id"),
         F.col("query_vec").alias("qv"),
     )
-    if codec == "sq":
+    if codec in ("sq", "pq"):
         surv = _radial_adc_survivors(
-            spark, index, qpdf, probes, probed_cids, min_score, max_distance
+            spark, index, qpdf, probes, probed_cids, min_score, max_distance,
+            codec=codec,
         )
-        if index.n_replicas > 1:
-            surv = surv.dropDuplicates(["query_id", "vec_id"])
         if allowed is not None:
             surv = surv.join(
                 allowed.select(F.col("vec_id").cast("long").alias("vec_id")),
@@ -1444,12 +1443,21 @@ def ivf_search_radial(
             .where(F.col("centroid_id").isin(probed_cids))
             .select("vec_id", F.col("embedding").alias("v"))
         )
+        # Join the survivor set FIRST (broadcast-pinned: survivors are the
+        # output-sized set — every row is exact-verified and potentially
+        # emitted), then drop replica duplicates on the candidate-sized
+        # join result. The previous shape deduped `full` on vec_id BEFORE
+        # the join, hash-exchanging every probed full-precision row; the
+        # reference's reranker reads only the survivors
+        # (JVectorReader.java:115-127), it never re-shards the segment.
+        scored = full.join(F.broadcast(surv), "vec_id")
         if index.n_replicas > 1:
-            full = full.dropDuplicates(["vec_id"])
-        scored = (
-            surv.join(full, "vec_id")
-            .join(F.broadcast(q), "query_id")
-            .withColumn(out_col, expr_fn(F.col("v"), F.col("qv")))
+            # A replicated vector sits in >1 probed bucket: the join emits
+            # one row per probed replica copy; copies carry identical
+            # embeddings, so any survivor of the dedup scores identically.
+            scored = scored.dropDuplicates(["query_id", "vec_id"])
+        scored = scored.join(F.broadcast(q), "query_id").withColumn(
+            out_col, expr_fn(F.col("v"), F.col("qv"))
         )
     else:
         probes_df = spark.createDataFrame(probes)
@@ -1669,16 +1677,17 @@ def ivf_search(
     )
 
     # Exact rerank: second partition-pruned scan reading full precision for
-    # the surviving candidates only.
+    # the surviving candidates only. The candidate set is broadcast-pinned
+    # (<= n_queries * k * over_query rows of (int32, int64) — ~120 KB at
+    # the K_MAX clamp with 1k queries), so the fat full-precision scan
+    # never shuffles; replica duplicates are dropped AFTER the join, on
+    # the candidate-sized result, never on the whole probed scan (the
+    # reference's reranker reads only the survivors,
+    # JVectorReader.java:115-127).
     expr_fn, out_col, ascending = _metric_col(metric)
 
     full = (
         spark.read.parquet(index.buckets_path)
-        .where(F.col("centroid_id").isin(probed_cids))
-        .select("vec_id", F.col("embedding").alias("v"))
-        .dropDuplicates(["vec_id"])
-        if index.n_replicas > 1
-        else spark.read.parquet(index.buckets_path)
         .where(F.col("centroid_id").isin(probed_cids))
         .select("vec_id", F.col("embedding").alias("v"))
     )
@@ -1688,10 +1697,13 @@ def ivf_search(
         F.col("query_id").cast("int").alias("query_id"),
         F.col("query_vec").alias("qv"),
     )
-    scored = (
-        full.join(cand, "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn(out_col, expr_fn(F.col("v"), F.col("qv")))
+    scored = full.join(F.broadcast(cand), "vec_id")
+    if index.n_replicas > 1:
+        # Replica copies carry identical embeddings; any dedup survivor
+        # scores identically.
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
+    scored = scored.join(F.broadcast(q), "query_id").withColumn(
+        out_col, expr_fn(F.col("v"), F.col("qv"))
     )
     m6 = F.round(F.col(out_col), 6)
     order = m6.asc() if ascending else m6.desc()

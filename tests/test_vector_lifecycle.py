@@ -475,6 +475,61 @@ def test_circuit_breaker_guards_bucketed_neardup(spark, real_vidx):
     embedding_near_dup_pairs_bucketed(spark, idx, threshold=0.95).count()
 
 
+def _shuffle_keys(df):
+    """(plan string, [key-list of every shuffle hashpartitioning])."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan, re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+
+
+def test_rerank_exchange_keys_on_candidates_not_corpus(spark, real_vidx):
+    """VERDICT r4 'what's wrong' #1: with n_replicas > 1 the exact-rerank
+    side must NOT hash-exchange the full probed scan (the old
+    dropDuplicates(["vec_id"]) before the candidate join). After the
+    de-shuffle, every shuffle keys on (query_id, vec_id) — candidate-sized
+    rows — and the candidate/query joins are broadcast-pinned, so no
+    shuffle partitioning exists whose keys are vec_id alone."""
+    idx = load_vector_index(real_vidx)
+    assert idx.n_replicas == 2
+    q = queries_df(spark).toPandas()
+    for codec in ("sq", "pq"):
+        res = ivf_search(spark, idx, q, k=10, nprobe=16, over_query=50,
+                         codec=codec)
+        plan, parts = _shuffle_keys(res)
+        for keys in parts:
+            if "vec_id" in keys:
+                assert "query_id" in keys, (codec, keys, plan)
+        assert "BroadcastExchange" in plan, codec
+        res.count()
+
+
+def test_radial_rerank_exchange_keys_on_survivors(spark, real_vidx):
+    """Radial twin of the rerank de-shuffle: the sq/pq verify pass joins
+    the broadcast survivor set to the pruned scan and dedups AFTER, so no
+    shuffle keys on vec_id alone; the pq plan must actually read the PQ
+    codes (the ADVICE-r4 dead-branch fix — codec='pq' used to fall through
+    to single-pass exact)."""
+    idx = load_vector_index(real_vidx)
+    q = queries_df(spark)
+    for codec in ("sq", "pq"):
+        res = ivf_search_radial(spark, idx, q, min_score=0.2, nprobe=6,
+                                codec=codec)
+        plan, parts = _shuffle_keys(res)
+        for keys in parts:
+            if "vec_id" in keys:
+                assert "query_id" in keys, (codec, keys, plan)
+        assert "BroadcastExchange" in plan, codec
+        if codec == "pq":
+            assert "pqcode" in plan
+        res.count()
+    exact_plan, _ = _shuffle_keys(
+        ivf_search_radial(spark, idx, q, min_score=0.2, nprobe=6,
+                          codec="exact")
+    )
+    assert "pqcode" not in exact_plan
+
+
 def test_radial_survivor_pass_has_no_exchange(spark, real_vidx):
     """The radial ADC cut must share _adc_first_pass's plan shape: kernel
     applied directly over the partition-pruned scan, no Exchange."""
