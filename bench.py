@@ -173,13 +173,16 @@ def main() -> None:
 
         def run_ivf_quantized():
             vidx = load_vector_index(vdir)
-            ivf_search(spark, vidx, vq(), k=10, nprobe=4, over_query=5).count()
+            ivf_search(
+                spark, vidx, vq(), k=10, nprobe=4, approximate_threshold=None
+            ).count()
 
         def run_ivf_pq():
             # Codec 2: PQ ADC first pass (m bytes/vector instead of dim+16).
             vidx = load_vector_index(vdir)
             ivf_search(
-                spark, vidx, vq(), k=10, nprobe=4, over_query=5, codec="pq"
+                spark, vidx, vq(), k=10, nprobe=4, codec="pq",
+                approximate_threshold=None,
             ).count()
 
         workloads: dict[str, object] = {

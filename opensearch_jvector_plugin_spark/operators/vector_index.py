@@ -69,6 +69,34 @@ DEFAULT_OVER_QUERY = 5  # JVectorReader.java:41 DEFAULT_OVER_QUERY_FACTOR
 TRAIN_ITERS = 8
 TRAIN_SEED = 7
 
+# RescoreContext.java:23,37 first-pass clamp bounds; KNNSettings.java:70,104
+# index.knn.advanced.approximate_threshold default: segments smaller than
+# this are searched exactly — the quantized two-pass costs more than it
+# saves below it.
+MAX_FIRST_PASS_RESULTS = 10_000
+MIN_FIRST_PASS_RESULTS = 100
+APPROXIMATE_THRESHOLD = 15_000
+
+
+def first_pass_k(k: int, dim: int) -> int:
+    """Dimension-adaptive candidate-pool size for the quantized first
+    pass — the reference's RescoreContext.getFirstPassK
+    (RescoreContext.java:81-97, factors :28-34): oversample 3x below
+    dim 768, 2x in [768, 1000), 1x at >= 1000 (high-dim quantization is
+    accurate enough not to need a wider net), clamped to [100, 10000]."""
+    if dim >= 1000:
+        factor = 1.0
+    elif dim >= 768:
+        factor = 2.0
+    else:
+        factor = 3.0
+    import math
+
+    return min(
+        MAX_FIRST_PASS_RESULTS,
+        max(MIN_FIRST_PASS_RESULTS, math.ceil(int(k) * factor)),
+    )
+
 IVF_METRICS = ("cosine", "l2", "innerproduct")
 
 # ------------------------------------------------------- lifecycle plumbing
@@ -1602,13 +1630,23 @@ def ivf_search(
     queries: pd.DataFrame,
     k: int = 10,
     nprobe: int = 4,
-    over_query: int = DEFAULT_OVER_QUERY,
+    over_query: int | None = None,
     codec: str = "sq",
     allowed_ids: np.ndarray | None = None,
+    approximate_threshold: int | None = APPROXIMATE_THRESHOLD,
 ) -> DataFrame:
     """Quantized-first-pass search: ADC over the probed buckets, over-fetch
-    k * over_query candidates per query, exact rerank at full precision.
+    candidates per query, exact rerank at full precision.
 
+    over_query=None (default) sizes the candidate pool with the
+    dimension-adaptive rule (first_pass_k — RescoreContext.java:81-97:
+    3x/2x/1x by dimension, clamped to [100, 10000]); an explicit int keeps
+    the legacy fetch = k * over_query.
+    approximate_threshold (KNNSettings.java:70 advanced.approximate_threshold
+    analog, default 15000): an index with fewer vectors than this is routed
+    to the single-pass exact scorer — at small scale the two-pass ADC costs
+    more than it saves, and exact is the better answer anyway. Pass None to
+    force the quantized path (benchmarks do).
     `allowed_ids`: optional int64 array of permitted vec_ids — acceptDocs
     PRE-filter semantics inside the ADC kernel (the text kernel's
     broadcast-sorted-array + searchsorted shape, operators/wand.py): the
@@ -1629,6 +1667,28 @@ def ivf_search(
         raise ValueError(f"unknown codec {codec!r}")
     if codec == "pq" and index.pq_m is None:
         raise ValueError("index was built without PQ codes (pq_m=None)")
+    n_vecs = int(index.manifest.get("n_vecs", 0))
+    if approximate_threshold is not None and n_vecs < int(
+        approximate_threshold
+    ):
+        # Exact-below-threshold switch: same probes, same pre-filter
+        # semantics, single full-precision pass. Results are identical to
+        # the two-pass path whenever the candidate pool covers the probed
+        # top-k; below the threshold exact is also the CHEAPER plan.
+        qdf = spark.createDataFrame(
+            queries[["query_id", "query_vec"]]
+        )
+        allowed = None
+        if allowed_ids is not None:
+            allowed = spark.createDataFrame(
+                pd.DataFrame(
+                    {"vec_id": np.asarray(allowed_ids, dtype=np.int64)}
+                ),
+                "vec_id LONG",
+            )
+        return ivf_search_exact(
+            spark, index, qdf, k=k, nprobe=nprobe, allowed=allowed
+        )
     metric = index.metric
     probes = _probes(index, queries, nprobe)
     probed_cids = sorted(set(int(c) for c in probes["centroid_id"]))
@@ -1642,7 +1702,11 @@ def ivf_search(
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1), 1e-30)[:, None]
     qids = queries["query_id"].to_numpy(np.int32)
     dim = qmat.shape[1]
-    fetch = int(k) * int(over_query)
+    fetch = (
+        int(k) * int(over_query)
+        if over_query is not None
+        else first_pass_k(k, dim)
+    )
 
     # Per-query ADC lookup tables for the PQ path, built once on the driver
     # (m x 256 doubles per query — tiny) and broadcast.

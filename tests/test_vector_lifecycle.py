@@ -381,7 +381,7 @@ def test_quantized_results_unchanged_after_deshuffle(spark, real_vidx):
     for codec in ("sq", "pq"):
         quant = ivf_search(
             spark, idx, q.toPandas(), k=10, nprobe=16, over_query=50,
-            codec=codec,
+            codec=codec, approximate_threshold=None,
         ).toPandas()
         for qid in exact["query_id"].unique():
             want = set(exact[exact.query_id == qid]["vec_id"])
@@ -495,7 +495,7 @@ def test_rerank_exchange_keys_on_candidates_not_corpus(spark, real_vidx):
     q = queries_df(spark).toPandas()
     for codec in ("sq", "pq"):
         res = ivf_search(spark, idx, q, k=10, nprobe=16, over_query=50,
-                         codec=codec)
+                         codec=codec, approximate_threshold=None)
         plan, parts = _shuffle_keys(res)
         for keys in parts:
             if "vec_id" in keys:
@@ -550,3 +550,68 @@ def test_radial_survivor_pass_has_no_exchange(spark, real_vidx):
         assert "Exchange" not in plan, codec
         assert "centroid_id" in plan, codec
         surv.count()
+
+
+# ------------------------- adaptive first pass & exact-below-threshold switch
+
+
+def test_first_pass_k_dimension_table():
+    """Mirror of RescoreContext.getFirstPassK (RescoreContext.java:81-97):
+    3x below dim 768, 2x in [768, 1000), 1x at >= 1000, clamped to
+    [MIN_FIRST_PASS_RESULTS, MAX_FIRST_PASS_RESULTS]."""
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        first_pass_k,
+    )
+
+    assert first_pass_k(10, 64) == 100     # ceil(30) floored to 100
+    assert first_pass_k(100, 64) == 300    # 3x
+    assert first_pass_k(100, 768) == 200   # 2x
+    assert first_pass_k(100, 999) == 200
+    assert first_pass_k(100, 1000) == 100  # 1x, floor already met
+    assert first_pass_k(10, 2048) == 100   # floor
+    assert first_pass_k(5000, 64) == 10000  # ceiling clamp
+
+
+def test_exact_below_threshold_routing(spark, real_vidx):
+    """KNNSettings.java:70 advanced.approximate_threshold analog: an index
+    below the threshold routes ivf_search to the single-pass exact scorer
+    (no quantized columns in the plan); forcing the quantized path returns
+    the identical frame at full probing. The pre-filter keeps acceptDocs
+    semantics on both routes."""
+    idx = load_vector_index(real_vidx)  # 500 vectors << 15000
+    q = queries_df(spark).toPandas()
+
+    routed = ivf_search(spark, idx, q, k=10, nprobe=16)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "qvec" not in plan and "pqcode" not in plan
+
+    forced = ivf_search(spark, idx, q, k=10, nprobe=16, over_query=50,
+                        approximate_threshold=None)
+    fplan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "qvec" in fplan
+
+    a = routed.toPandas().sort_values(["query_id", "rank"]).reset_index(
+        drop=True
+    )
+    b = forced.toPandas().sort_values(["query_id", "rank"]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    # Filtered: both routes apply the pre-filter before the top-k cut.
+    allowed = np.arange(0, 500, 2, dtype=np.int64)
+    ra = ivf_search(spark, idx, q, k=10, nprobe=16,
+                    allowed_ids=allowed).toPandas()
+    rb = ivf_search(spark, idx, q, k=10, nprobe=16, over_query=50,
+                    allowed_ids=allowed,
+                    approximate_threshold=None).toPandas()
+    assert (ra["vec_id"] % 2 == 0).all()
+    pd.testing.assert_frame_equal(
+        ra.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        rb.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    # Both sides of the threshold constant itself: forcing a tiny
+    # threshold keeps the quantized route.
+    tiny = ivf_search(spark, idx, q, k=10, nprobe=16, over_query=50,
+                      approximate_threshold=100)
+    assert "qvec" in tiny._jdf.queryExecution().executedPlan().toString()
