@@ -573,9 +573,20 @@ def embedding_near_dup_pairs_bucketed(
             "cvec": [c.tolist() for c in cents],
         }
     )
+    if index.manifest.get("pending_batch_id") is not None:
+        # The pair kernel reads bucket files directly (pyarrow, below) and
+        # cannot filter an in-flight append's files the way
+        # VectorIndexHandle.bucket_scan does; refuse rather than compute
+        # near-dups over uncommitted rows (read-committed contract).
+        raise ValueError(
+            "index has an uncommitted append in flight (pending_batch_id="
+            f"{index.manifest['pending_batch_id']}); retry after the append"
+            " commits, or run a writer op (append_vectors /"
+            " compact_vector_index) to reconcile"
+        )
     buckets_path = index.buckets_path
     primary = (
-        spark.read.parquet(buckets_path)
+        index.bucket_scan(spark)
         .where(F.col("replica_rank") == 0)
         .select("centroid_id", F.col("embedding").alias("v"))
     )
@@ -703,7 +714,7 @@ def embedding_near_dup_pairs_bucketed(
     # Fold-exact rescore of candidates only: full precision is read just
     # for the surviving pairs, via two joins against the primary rows.
     vecs = (
-        spark.read.parquet(buckets_path)
+        index.bucket_scan(spark)
         .where(F.col("replica_rank") == 0)
         .select("vec_id", F.col("embedding").alias("v"))
     )

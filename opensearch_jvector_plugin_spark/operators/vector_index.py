@@ -1132,14 +1132,58 @@ class VectorIndexHandle:
 
     @property
     def buckets_path(self) -> str:
-        return _buckets_path(self.index_dir, self.manifest)
+        """Active bucket-table directory, resolved READ-ONLY: a crashed
+        pre-generation compactor leaves `buckets.old` where `buckets/`
+        should be — a reader serves from it without renaming anything
+        (the roll-forward rename happens only in writer ops, via
+        _reconcile)."""
+        bp = _buckets_path(self.index_dir, self.manifest)
+        if not os.path.exists(bp):
+            legacy_old = os.path.join(self.index_dir, "buckets.old")
+            if os.path.exists(legacy_old):
+                return legacy_old
+        return bp
+
+    def bucket_scan(self, spark: SparkSession) -> DataFrame:
+        """Serving scan of the bucket table, read-committed. A
+        `pending_batch_id` in the manifest marks an append that is either
+        IN FLIGHT or crashed; a reader must neither serve its rows nor
+        delete its files — deleting would race a healthy concurrent
+        append between its intent and commit steps (ADVICE r4; the
+        reference's readers likewise never mutate segment files,
+        JVectorReader.java:52-85). The pending batch's `batch<id>-`
+        prefixed files are filtered out of the scan; `basePath` keeps the
+        centroid_id partition column (and its pruning). Writer ops
+        (append_vectors / compact_vector_index) are the ones that roll
+        crashed batches back."""
+        bp = self.buckets_path
+        pb = self.manifest.get("pending_batch_id")
+        if pb is None:
+            return spark.read.parquet(bp)
+        prefix = f"batch{int(pb)}-"
+        files = []
+        for part in sorted(os.listdir(bp)):
+            pdir = os.path.join(bp, part)
+            if not (part.startswith("centroid_id=") and os.path.isdir(pdir)):
+                continue
+            for fname in sorted(os.listdir(pdir)):
+                if fname.endswith(".parquet") and not fname.startswith(
+                    prefix
+                ):
+                    files.append(os.path.join(pdir, fname))
+        return spark.read.option("basePath", bp).parquet(*files)
 
 
 def load_vector_index(index_dir: str) -> VectorIndexHandle:
-    """Open a persisted index, first rolling back any uncommitted append
-    (pending_batch_id) or interrupted legacy compaction swap — the load
-    never serves a partially-appended batch (single-writer contract)."""
-    _reconcile(index_dir, _read_manifest(index_dir))
+    """Open a persisted index READ-ONLY. Crash states are tolerated, not
+    repaired: an uncommitted append (pending_batch_id) is excluded from
+    every serving scan (bucket_scan), and an interrupted legacy compaction
+    swap is resolved by reading buckets.old in place. Repair — rolling a
+    crashed batch back, renaming the legacy dir forward — happens only in
+    WRITER ops (append_vectors / compact_vector_index), because a reader
+    that deletes in-flight files would race a healthy concurrent append
+    between its intent and commit steps (single-WRITER contract; readers
+    are unrestricted)."""
     return VectorIndexHandle(index_dir)
 
 
@@ -1206,7 +1250,7 @@ def ivf_search_exact(
         F.col("query_vec").alias("qv"),
     )
     bucket = (
-        spark.read.parquet(index.buckets_path)
+        index.bucket_scan(spark)
         .where(F.col("centroid_id").isin(probed_cids))
         .select("vec_id", "centroid_id", F.col("embedding").alias("v"))
     )
@@ -1378,7 +1422,7 @@ def _radial_adc_survivors(
         else ["centroid_id", "vec_id", "qvec", "qscale", "qnorm"]
     )
     return (
-        spark.read.parquet(index.buckets_path)
+        index.bucket_scan(spark)
         .where(F.col("centroid_id").isin(probed_cids))
         .select(*first_cols)
         .mapInPandas(cut, "query_id INT, vec_id LONG")
@@ -1467,7 +1511,7 @@ def ivf_search_radial(
                 "vec_id", "left_semi",
             )
         full = (
-            spark.read.parquet(index.buckets_path)
+            index.bucket_scan(spark)
             .where(F.col("centroid_id").isin(probed_cids))
             .select("vec_id", F.col("embedding").alias("v"))
         )
@@ -1490,7 +1534,7 @@ def ivf_search_radial(
     else:
         probes_df = spark.createDataFrame(probes)
         bucket = (
-            spark.read.parquet(index.buckets_path)
+            index.bucket_scan(spark)
             .where(F.col("centroid_id").isin(probed_cids))
             .select("vec_id", "centroid_id", F.col("embedding").alias("v"))
         )
@@ -1617,7 +1661,7 @@ def _adc_first_pass(
                 )
 
     return (
-        spark.read.parquet(index.buckets_path)
+        index.bucket_scan(spark)
         .where(F.col("centroid_id").isin(probed_cids))
         .select(*first_cols)
         .mapInPandas(adc, "query_id INT, vec_id LONG, approx DOUBLE")
@@ -1751,7 +1795,7 @@ def ivf_search(
     expr_fn, out_col, ascending = _metric_col(metric)
 
     full = (
-        spark.read.parquet(index.buckets_path)
+        index.bucket_scan(spark)
         .where(F.col("centroid_id").isin(probed_cids))
         .select("vec_id", F.col("embedding").alias("v"))
     )

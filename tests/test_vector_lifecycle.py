@@ -113,12 +113,19 @@ def test_append_rejects_dimension_mismatch(spark, tmp_path):
     bad = _emb_df(spark, [(100, [1.0, 2.0, 3.0])], dim=3)
     with pytest.raises(Exception, match="dimension mismatch"):
         append_vectors(bad, d, batch_id=1)
-    # The failed append left no committed state: no batch files, manifest
-    # rolled back on next load, and the index still serves.
+    # The failed append left no committed state: no batch files moved in,
+    # the intent marker remains (read-only loads exclude the epoch), and
+    # the index still serves the pre-append rows.
     idx = load_vector_index(d)
-    assert "pending_batch_id" not in idx.manifest
+    assert idx.manifest["pending_batch_id"] == 1
     assert idx.manifest["n_vecs"] == 30
     assert not glob.glob(os.path.join(idx.buckets_path, "*", "batch1-*"))
+    assert idx.bucket_scan(spark).count() == 30
+    # A valid retry of the same epoch reconciles the intent and commits.
+    m = append_vectors(
+        _emb_df(spark, [(100, [1.0, 2.0, 3.0, 4.0])]), d, batch_id=1
+    )
+    assert "pending_batch_id" not in m and m["n_vecs"] == 31
 
 
 # -------------------------------------------------------- exactly-once append
@@ -169,9 +176,12 @@ def test_append_crash_window_is_reconciled(spark, tmp_path):
     assert spark.read.parquet(idx2.buckets_path).count() == 40
 
 
-def test_load_rolls_back_uncommitted_batch(spark, tmp_path):
-    """A crashed append that is never retried must not be served: load
-    detects the pending marker and rolls the partial batch back."""
+def test_load_skips_uncommitted_batch_read_only(spark, tmp_path):
+    """ADVICE r4: a READER opening the index while an append is pending
+    must neither serve the in-flight batch nor delete its files (deleting
+    races a healthy concurrent append between intent and commit). Load is
+    read-only: the pending batch is filtered out of bucket_scan; repair
+    belongs to writer ops."""
     d = str(tmp_path / "vidx")
     build_vector_index(_emb_df(spark, _good_rows(30)), d, n_centroids=4)
     idx = load_vector_index(d)
@@ -190,21 +200,46 @@ def test_load_rolls_back_uncommitted_batch(spark, tmp_path):
         json.dump(m, f)
 
     idx2 = load_vector_index(d)
+    # The reader did NOT touch the in-flight files...
+    assert os.path.exists(orphan)
+    assert idx2.manifest["pending_batch_id"] == 9
+    # ...but it does not serve them either (read-committed).
+    assert idx2.bucket_scan(spark).count() == 30
+    # Serving paths inherit the exclusion.
+    got = ivf_search_exact(
+        spark, idx2,
+        _emb_df(spark, _good_rows(1)).select(
+            F.col("vec_id").cast("int").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=50, nprobe=4,
+    ).toPandas()
+    assert not got.duplicated(["query_id", "vec_id"]).any()
+    # A WRITER op (the retried epoch) performs the rollback.
+    append_vectors(_emb_df(spark, _good_rows(5, start=900)), d, batch_id=9)
     assert not os.path.exists(orphan)
-    assert "pending_batch_id" not in idx2.manifest
-    assert spark.read.parquet(idx2.buckets_path).count() == 30
+    idx3 = load_vector_index(d)
+    assert "pending_batch_id" not in idx3.manifest
+    assert idx3.bucket_scan(spark).count() == 35
 
 
-def test_legacy_compaction_crash_recovered_on_load(spark, tmp_path):
+def test_legacy_compaction_crash_recovered(spark, tmp_path):
     """Pre-generation layout crash state (buckets/ renamed away, buckets.old
-    left behind) is rolled back by load — the ADVICE-r3 recovery."""
+    left behind): a READER serves from buckets.old in place without
+    renaming anything; the first WRITER op rolls the layout forward."""
     d = str(tmp_path / "vidx")
     build_vector_index(_emb_df(spark, _good_rows(30)), d, n_centroids=4)
     os.rename(os.path.join(d, "buckets"), os.path.join(d, "buckets.old"))
     idx = load_vector_index(d)
+    # Read-only: the crash state is untouched but fully served.
+    assert not os.path.isdir(os.path.join(d, "buckets"))
+    assert idx.buckets_path.endswith("buckets.old")
+    assert idx.bucket_scan(spark).count() == 30
+    # Writer op repairs the layout.
+    append_vectors(_emb_df(spark, _good_rows(5, start=900)), d, batch_id=0)
     assert os.path.isdir(os.path.join(d, "buckets"))
     assert not os.path.exists(os.path.join(d, "buckets.old"))
-    assert spark.read.parquet(idx.buckets_path).count() == 30
+    assert load_vector_index(d).bucket_scan(spark).count() == 35
 
 
 # --------------------------------------------------- generations & compaction
