@@ -104,16 +104,41 @@ IVF_METRICS = ("cosine", "l2", "innerproduct")
 MANIFEST = "ivf_manifest.json"
 
 
-def _read_manifest(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, MANIFEST)) as f:
-        return json.load(f)
+def _read_manifest(index_dir: str, storage=None) -> dict:
+    storage = storage or _default_posix()
+    return json.loads(
+        storage.read_bytes(os.path.join(index_dir, MANIFEST))
+    )
 
 
-def _write_manifest(index_dir: str, manifest: dict) -> None:
-    tmpm = os.path.join(index_dir, MANIFEST + ".tmp")
-    with open(tmpm, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmpm, os.path.join(index_dir, MANIFEST))
+def _write_manifest(index_dir: str, manifest: dict, storage=None) -> None:
+    """Unconditional atomic manifest PUT (fresh build / no prior etag)."""
+    storage = storage or _default_posix()
+    storage.put_bytes(
+        os.path.join(index_dir, MANIFEST),
+        json.dumps(manifest, indent=1, sort_keys=True).encode(),
+    )
+
+
+class _ManifestIO:
+    """Writer-side manifest handle: read remembers the ETag, commit is a
+    conditional PUT against it — the object-store commit primitive
+    (if-match), so a lost race with another writer surfaces as
+    StorageConflictError instead of a silent clobber. The single-writer
+    contract makes conflicts unreachable in healthy operation."""
+
+    def __init__(self, storage, index_dir: str):
+        self.storage = storage
+        self.path = os.path.join(index_dir, MANIFEST)
+        self.etag: str | None = None
+
+    def read(self) -> dict:
+        data, self.etag = self.storage.read_with_etag(self.path)
+        return json.loads(data)
+
+    def commit(self, manifest: dict) -> None:
+        data = json.dumps(manifest, indent=1, sort_keys=True).encode()
+        self.etag = self.storage.put_if_match(self.path, data, self.etag)
 
 
 def _buckets_path(index_dir: str, manifest: dict) -> str:
@@ -133,46 +158,54 @@ def _staging_path(index_dir: str, batch_id: int) -> str:
     return os.path.join(index_dir, f"append_staging_batch{int(batch_id)}")
 
 
-def _require_local_master(spark: SparkSession, op: str) -> None:
-    """Index maintenance (append commit, compaction GC, pending-batch
-    rollback) manipulates index files with driver-local filesystem ops —
-    valid only when index_dir is reachable from the driver, i.e. local
-    mode or a shared POSIX mount. Same contract as the near-dup block
-    store (dedup.embedding_near_dup_pairs). On object stores the
-    equivalent is: write the new generation/batch through the cluster FS,
-    then commit by conditional-put of the manifest pointer — the layout
-    (generation dirs + manifest pointer) is already that shape; only the
-    FS client is missing here."""
+def _default_posix():
+    from ..storage import PosixStorage
+
+    return PosixStorage()
+
+
+def _resolve_storage(spark: SparkSession, storage, op: str):
+    """Writer-op client dispatch (replaces the round-4 local-master
+    guard): an explicit IndexStorage wins; the PosixStorage default is
+    valid only when index_dir is reachable from the driver (local mode /
+    shared POSIX mount). On a real cluster against an object store, pass
+    the matching client — the op set it must provide is documented in
+    opensearch_jvector_plugin_spark.storage (PUT / conditional PUT /
+    LIST / GET / DELETE / COPY; no renames)."""
+    if storage is not None:
+        return storage
     master = spark.sparkContext.master or ""
     if not master.startswith("local"):
         raise ValueError(
-            f"{op} on a non-local master ({master!r}) requires index_dir "
-            "on storage with driver-visible atomic file ops; this build "
-            "only implements the local/shared-POSIX client (see docstring "
-            "for the object-store commit shape)."
+            f"{op} on a non-local master ({master!r}) requires an explicit "
+            "IndexStorage client for the index filesystem (storage=...); "
+            "the default PosixStorage only covers driver-local or shared "
+            "POSIX paths."
         )
+    return _default_posix()
 
 
-def _rollback_batch_files(buckets: str, batch_id: int) -> int:
+def _rollback_batch_files(storage, buckets: str, batch_id: int) -> int:
     """Delete every bucket file belonging to `batch_id` (files are moved in
     with a `batch<id>-` name prefix, which is the reconciliation handle)."""
     removed = 0
     prefix = f"batch{int(batch_id)}-"
-    if not os.path.isdir(buckets):
-        return 0
-    for part in os.listdir(buckets):
+    for part in storage.list_dir(buckets):
         pdir = os.path.join(buckets, part)
-        if not (part.startswith("centroid_id=") and os.path.isdir(pdir)):
+        if not part.startswith("centroid_id="):
             continue
-        for fname in os.listdir(pdir):
+        for fname in storage.list_dir(pdir):
             if fname.startswith(prefix):
-                os.remove(os.path.join(pdir, fname))
+                storage.delete(os.path.join(pdir, fname))
                 removed += 1
     return removed
 
 
-def _reconcile(index_dir: str, manifest: dict) -> dict:
-    """Crash recovery at load/append time (single-writer contract):
+def _reconcile(
+    storage, index_dir: str, mio: _ManifestIO, manifest: dict
+) -> dict:
+    """Crash recovery inside WRITER ops only (single-writer contract;
+    readers tolerate crash states read-only, see load_vector_index):
 
     - a `pending_batch_id` in the manifest means an append crashed after
       its intent was recorded but before commit — its staged dir and any
@@ -182,22 +215,20 @@ def _reconcile(index_dir: str, manifest: dict) -> dict:
       pre-generation compactor's rename crash window — rolled forward by
       restoring `buckets.old` (current compaction never renames live data,
       it flips the `bucket_gen` pointer)."""
-    import shutil
-
     changed = False
     pb = manifest.get("pending_batch_id")
     if pb is not None:
-        _rollback_batch_files(_buckets_path(index_dir, manifest), pb)
-        shutil.rmtree(_staging_path(index_dir, pb), ignore_errors=True)
+        _rollback_batch_files(storage, _buckets_path(index_dir, manifest), pb)
+        storage.rmtree(_staging_path(index_dir, pb))
         del manifest["pending_batch_id"]
         changed = True
     bp = _buckets_path(index_dir, manifest)
     legacy_old = os.path.join(index_dir, "buckets.old")
-    if not os.path.exists(bp) and os.path.exists(legacy_old):
-        os.rename(legacy_old, bp)
+    if not storage.exists(bp) and storage.exists(legacy_old):
+        storage.move_tree(legacy_old, bp)
         changed = True
     if changed:
-        _write_manifest(index_dir, manifest)
+        mio.commit(manifest)
     return manifest
 
 
@@ -686,6 +717,7 @@ def build_vector_index(
     n_replicas: int = 1,
     pq_m: int | None = None,
     max_bucket_bytes: int | None = None,
+    storage=None,
 ) -> dict:
     """Train + persist the IVF index under index_dir:
 
@@ -754,6 +786,7 @@ def build_vector_index(
         detail=f"mean bucket of {n_vecs} vectors (dim {dim}) across "
         f"{n_centroids} centroids; raise n_centroids",
     )
+    storage = storage if storage is not None else _default_posix()
     cents = train_centroids(smat, n_centroids, seed=seed, metric=metric)
     k = len(cents)
     # Training clamps k to the sample size; re-clamp replication so a tiny
@@ -761,7 +794,9 @@ def build_vector_index(
     n_replicas_requested = int(n_replicas)
     n_replicas = min(n_replicas_requested, k)
 
-    os.makedirs(index_dir, exist_ok=True)
+    import io
+
+    storage.mkdirs(index_dir)
     cent_pdf = pd.DataFrame(
         {
             "centroid_id": np.arange(k, dtype=np.int32),
@@ -769,9 +804,11 @@ def build_vector_index(
             "n_vecs": np.full(k, n_vecs, dtype=np.int64),
         }
     )
-    tmp = os.path.join(index_dir, "_centroids.parquet.tmp")
-    cent_pdf.to_parquet(tmp, index=False)
-    os.replace(tmp, os.path.join(index_dir, "centroids.parquet"))
+    buf = io.BytesIO()
+    cent_pdf.to_parquet(buf, index=False)
+    storage.put_bytes(
+        os.path.join(index_dir, "centroids.parquet"), buf.getvalue()
+    )
 
     # PQ codebooks (codec 2) trained on the same bounded sample.
     books = None
@@ -782,9 +819,11 @@ def build_vector_index(
             for c in range(books.shape[1]):
                 book_rows.append((s, c, books[s, c].tolist()))
         bpdf = pd.DataFrame(book_rows, columns=["sub_idx", "code", "cvec"])
-        tmpb = os.path.join(index_dir, "_pq_codebooks.parquet.tmp")
-        bpdf.to_parquet(tmpb, index=False)
-        os.replace(tmpb, os.path.join(index_dir, "pq_codebooks.parquet"))
+        bbuf = io.BytesIO()
+        bpdf.to_parquet(bbuf, index=False)
+        storage.put_bytes(
+            os.path.join(index_dir, "pq_codebooks.parquet"), bbuf.getvalue()
+        )
 
     # One distributed pass: assign + quantize (+ PQ encode), write bucketed.
     bc_cents = spark.sparkContext.broadcast(cents)
@@ -819,10 +858,21 @@ def build_vector_index(
         manifest["n_centroids_rule"] = auto_rule
     if reps != n_replicas_requested:
         manifest["n_replicas_requested"] = n_replicas_requested
-    _write_manifest(index_dir, manifest)
+    _write_manifest(index_dir, manifest, storage=storage)
+    # Rebuild-over-compacted-index GC (ADVICE r4): the fresh manifest has
+    # no bucket_gen, so the active table is `buckets/` — any generation
+    # dirs (or a legacy buckets.old) left by the previous index are now
+    # unreachable and would silently double disk usage. Safe order: GC
+    # only AFTER the new manifest commit (a crash before it leaves the old
+    # manifest pointing at its still-intact generation).
+    for p in storage.list_dir(index_dir):
+        if p.startswith("buckets-g") or p == "buckets.old":
+            storage.rmtree(os.path.join(index_dir, p))
     from ..plans.metrics import append_metrics
 
-    append_metrics(index_dir, {"op": "vector_index_build", **manifest})
+    append_metrics(
+        index_dir, {"op": "vector_index_build", **manifest}, storage=storage
+    )
     return manifest
 
 
@@ -832,6 +882,7 @@ def append_vectors(
     batch_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    storage=None,
 ) -> dict:
     """Append a batch of new vectors to an EXISTING IVF index.
 
@@ -861,12 +912,17 @@ def append_vectors(
     files back by prefix before the retry re-runs, so re-delivery can
     never double-append (the round-3 ADVICE crash window: the old code
     committed data before recording the batch). Single-writer contract, as
-    with the text segments. Returns the updated manifest."""
-    import shutil
+    with the text segments. Returns the updated manifest.
 
+    `storage`: IndexStorage client for the index filesystem (defaults to
+    PosixStorage on a local master; REQUIRED on a cluster master). Every
+    manifest write is a conditional PUT, and the staged moves are
+    COPY+DELETE-safe — the batch prefix reconciles any crash window — so
+    the whole protocol fits the object-store op set."""
     spark = emb.sparkSession
-    _require_local_master(spark, "append_vectors")
-    manifest = _reconcile(index_dir, _read_manifest(index_dir))
+    storage = _resolve_storage(spark, storage, "append_vectors")
+    mio = _ManifestIO(storage, index_dir)
+    manifest = _reconcile(storage, index_dir, mio, mio.read())
     appends = manifest.setdefault("appends", [])
     if any(int(a["batch_id"]) == int(batch_id) for a in appends):
         return manifest
@@ -881,7 +937,7 @@ def append_vectors(
     )
     books = None
     if pq_m is not None:
-        books = load_vector_index(index_dir).pq_codebooks()
+        books = load_vector_index(index_dir, storage=storage).pq_codebooks()
 
     src = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -905,9 +961,10 @@ def append_vectors(
         "compact into a higher-k index",
     )
 
-    # Step 1: record intent.
+    # Step 1: record intent (conditional PUT against the etag read at
+    # entry — a concurrent writer surfaces as StorageConflictError here).
     manifest["pending_batch_id"] = int(batch_id)
-    _write_manifest(index_dir, manifest)
+    mio.commit(manifest)
 
     # Step 2: staged write + prefixed move into the live partitions.
     bc_cents = spark.sparkContext.broadcast(cents)
@@ -916,40 +973,44 @@ def append_vectors(
         bc_cents, bc_books, metric, reps, dim, "append_vectors"
     )
     staging = _staging_path(index_dir, batch_id)
-    shutil.rmtree(staging, ignore_errors=True)
+    storage.rmtree(staging)
     src.mapInPandas(assign_quant, _BUCKET_SCHEMA).write.partitionBy(
         "centroid_id"
     ).mode("overwrite").parquet(staging)
     buckets = _buckets_path(index_dir, manifest)
-    for part in os.listdir(staging):
+    for part in storage.list_dir(staging):
         sdir = os.path.join(staging, part)
-        if not (part.startswith("centroid_id=") and os.path.isdir(sdir)):
+        if not part.startswith("centroid_id="):
             continue
         dst = os.path.join(buckets, part)
-        os.makedirs(dst, exist_ok=True)
-        for fname in os.listdir(sdir):
+        storage.mkdirs(dst)
+        for fname in storage.list_dir(sdir):
             if fname.endswith(".parquet"):
-                os.replace(
+                # COPY+DELETE on an object store; the batch prefix is the
+                # reconciliation handle for every crash window.
+                storage.move_file(
                     os.path.join(sdir, fname),
                     os.path.join(dst, f"batch{int(batch_id)}-{fname}"),
                 )
 
-    # Step 3: commit.
+    # Step 3: commit (conditional PUT).
     manifest["n_vecs"] = int(manifest["n_vecs"]) + int(n_new)
     appends.append({"batch_id": int(batch_id), "n_vecs": int(n_new)})
     del manifest["pending_batch_id"]
-    _write_manifest(index_dir, manifest)
-    shutil.rmtree(staging, ignore_errors=True)
+    mio.commit(manifest)
+    storage.rmtree(staging)
     from ..plans.metrics import append_metrics
 
     append_metrics(index_dir, {
         "op": "vector_index_append", "batch_id": int(batch_id),
         "n_appended": int(n_new), "n_vecs": manifest["n_vecs"],
-    })
+    }, storage=storage)
     return manifest
 
 
-def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_vector_index(
+    spark: SparkSession, index_dir: str, storage=None
+) -> dict:
     """Rewrite the bucket table into one file per centroid partition — the
     vector-side forceMerge (ForceMergesOnlyMergePolicy discipline: explicit
     compaction only, no background magic). Streaming appends add one small
@@ -966,16 +1027,19 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
     at every instant.
 
     Results are bit-identical before/after: rows are unchanged, only file
-    layout changes (test_compact_preserves_results pins it)."""
-    import shutil
+    layout changes (test_compact_preserves_results pins it).
 
-    _require_local_master(spark, "compact_vector_index")
-    manifest = _reconcile(index_dir, _read_manifest(index_dir))
+    `storage`: IndexStorage client (defaults to PosixStorage on a local
+    master; REQUIRED on a cluster master). The commit is a conditional
+    manifest PUT; GC is LIST+DELETE of superseded generation prefixes."""
+    storage = _resolve_storage(spark, storage, "compact_vector_index")
+    mio = _ManifestIO(storage, index_dir)
+    manifest = _reconcile(storage, index_dir, mio, mio.read())
     cur = _buckets_path(index_dir, manifest)
     gen = int(manifest.get("bucket_gen") or 0)
     new_gen = gen + 1
     new = os.path.join(index_dir, f"buckets-g{new_gen:04d}")
-    shutil.rmtree(new, ignore_errors=True)  # orphan of a crashed compact
+    storage.rmtree(new)  # orphan of a crashed compact
 
     df = spark.read.parquet(cur)
     n_parts = df.select("centroid_id").distinct().count()
@@ -987,19 +1051,19 @@ def compact_vector_index(spark: SparkSession, index_dir: str) -> dict:
     )
     manifest["bucket_gen"] = new_gen
     manifest["compactions"] = int(manifest.get("compactions", 0)) + 1
-    _write_manifest(index_dir, manifest)  # the commit point
+    mio.commit(manifest)  # the commit point (conditional PUT)
     # GC superseded generations (best-effort; safe to re-run).
     active = os.path.basename(new)
-    for p in os.listdir(index_dir):
+    for p in storage.list_dir(index_dir):
         if (p == "buckets" or p.startswith("buckets-g")) and p != active:
-            shutil.rmtree(os.path.join(index_dir, p), ignore_errors=True)
+            storage.rmtree(os.path.join(index_dir, p))
     from ..plans.metrics import append_metrics
 
     append_metrics(index_dir, {
         "op": "vector_index_compact",
         "compactions": manifest["compactions"],
         "n_vecs": manifest.get("n_vecs"),
-    })
+    }, storage=storage)
     return manifest
 
 
@@ -1010,6 +1074,7 @@ def start_vector_index_stream(
     schema,
     checkpoint_dir: str,
     max_files_per_trigger: int = 8,
+    storage=None,
 ):
     """Structured-Streaming ingestion into an existing vector index: every
     new parquet file of (vec_id, embedding) under input_path is appended
@@ -1023,7 +1088,9 @@ def start_vector_index_stream(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        append_vectors(batch_df, index_dir, batch_id=int(epoch_id))
+        append_vectors(
+            batch_df, index_dir, batch_id=int(epoch_id), storage=storage
+        )
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -1091,8 +1158,9 @@ def export_centroids_twin(
 
 
 class VectorIndexHandle:
-    def __init__(self, index_dir: str):
-        self.manifest = _read_manifest(index_dir)
+    def __init__(self, index_dir: str, storage=None):
+        self.storage = storage if storage is not None else _default_posix()
+        self.manifest = _read_manifest(index_dir, storage=self.storage)
         self.index_dir = index_dir
         cent_pdf = pd.read_parquet(os.path.join(index_dir, "centroids.parquet"))
         self.centroids = np.asarray(
@@ -1138,9 +1206,9 @@ class VectorIndexHandle:
         (the roll-forward rename happens only in writer ops, via
         _reconcile)."""
         bp = _buckets_path(self.index_dir, self.manifest)
-        if not os.path.exists(bp):
+        if not self.storage.exists(bp):
             legacy_old = os.path.join(self.index_dir, "buckets.old")
-            if os.path.exists(legacy_old):
+            if self.storage.exists(legacy_old):
                 return legacy_old
         return bp
 
@@ -1162,11 +1230,11 @@ class VectorIndexHandle:
             return spark.read.parquet(bp)
         prefix = f"batch{int(pb)}-"
         files = []
-        for part in sorted(os.listdir(bp)):
+        for part in self.storage.list_dir(bp):
             pdir = os.path.join(bp, part)
-            if not (part.startswith("centroid_id=") and os.path.isdir(pdir)):
+            if not part.startswith("centroid_id="):
                 continue
-            for fname in sorted(os.listdir(pdir)):
+            for fname in self.storage.list_dir(pdir):
                 if fname.endswith(".parquet") and not fname.startswith(
                     prefix
                 ):
@@ -1174,7 +1242,7 @@ class VectorIndexHandle:
         return spark.read.option("basePath", bp).parquet(*files)
 
 
-def load_vector_index(index_dir: str) -> VectorIndexHandle:
+def load_vector_index(index_dir: str, storage=None) -> VectorIndexHandle:
     """Open a persisted index READ-ONLY. Crash states are tolerated, not
     repaired: an uncommitted append (pending_batch_id) is excluded from
     every serving scan (bucket_scan), and an interrupted legacy compaction
@@ -1184,7 +1252,7 @@ def load_vector_index(index_dir: str) -> VectorIndexHandle:
     that deletes in-flight files would race a healthy concurrent append
     between its intent and commit steps (single-WRITER contract; readers
     are unrestricted)."""
-    return VectorIndexHandle(index_dir)
+    return VectorIndexHandle(index_dir, storage=storage)
 
 
 def _probes(

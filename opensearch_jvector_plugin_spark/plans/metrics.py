@@ -25,18 +25,41 @@ def observed_rowcount(df: DataFrame, name: str) -> tuple[DataFrame, Observation]
     return out, obs
 
 
-def append_metrics(index_dir: str, record: dict) -> None:
+def append_metrics(index_dir: str, record: dict, storage=None) -> None:
     """Append one JSON metrics record (build/query/merge) to the index's
-    metrics log — the lineage + build-metrics surface of the north rule."""
-    path = os.path.join(index_dir, "metrics.jsonl")
+    metrics log — the lineage + build-metrics surface of the north rule.
+
+    Default (POSIX): append a line to metrics.jsonl. With an IndexStorage
+    client: object stores cannot append, so each record becomes its own
+    object under metrics/ (one PUT, no read-modify-write race);
+    read_metrics merges both layouts."""
     record = {"ts": time.time(), **record}
+    data = json.dumps(record, sort_keys=True)
+    from ..storage import PosixStorage
+
+    if storage is not None and not isinstance(storage, PosixStorage):
+        storage.put_bytes(
+            os.path.join(
+                index_dir, "metrics", f"{time.time_ns()}.json"
+            ),
+            data.encode(),
+        )
+        return
+    path = os.path.join(index_dir, "metrics.jsonl")
     with open(path, "a") as f:
-        f.write(json.dumps(record, sort_keys=True) + "\n")
+        f.write(data + "\n")
 
 
 def read_metrics(index_dir: str) -> list[dict]:
+    out = []
     path = os.path.join(index_dir, "metrics.jsonl")
-    if not os.path.exists(path):
-        return []
-    with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+    if os.path.exists(path):
+        with open(path) as f:
+            out.extend(json.loads(line) for line in f if line.strip())
+    mdir = os.path.join(index_dir, "metrics")
+    if os.path.isdir(mdir):
+        for fn in sorted(os.listdir(mdir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    out.append(json.load(f))
+    return out
