@@ -36,8 +36,9 @@ def oracle_sql() -> dict[str, str]:
     import os
 
     from opensearch_jvector_plugin_spark.entry_queries import (
-        IVF_CENTROIDS,
+        IVF_REPLICAS,
         ORACLE_CENTROIDS_DIR,
+        _corpus_auto_k,
         _transcript_parquet,
     )
     from opensearch_jvector_plugin_spark.operators.vector_index import (
@@ -48,24 +49,20 @@ def oracle_sql() -> dict[str, str]:
     sf_dirs = set(glob.glob("/root/testdata/sf*"))
     if os.environ.get("OJS_TEST_SF_DIR"):
         sf_dirs.add(os.environ["OJS_TEST_SF_DIR"])
-    import pyarrow.parquet as pq
-
-    from opensearch_jvector_plugin_spark.operators.vector_index import (
-        auto_n_centroids,
-    )
-
     for d in sorted(sf_dirs):
         p = os.path.join(d, "embeddings.parquet")
         if os.path.exists(p):
+            # Flagship serving twins at the k the scale-aware rule derives
+            # for THIS corpus at the flagship replica count (round 5: the
+            # rule is the default geometry, nothing is hardcoded)...
+            k_flag = _corpus_auto_k(p, IVF_REPLICAS)
             for metric in ("cosine", "l2", "innerproduct"):
                 export_centroids_twin(
-                    p, ORACLE_CENTROIDS_DIR, n_centroids=IVF_CENTROIDS,
+                    p, ORACLE_CENTROIDS_DIR, n_centroids=k_flag,
                     metric=metric,
                 )
-            # ann_ivf_auto's oracle selects the twin at the k the
-            # scale-aware rule derives for this corpus (round 4).
-            t = pq.read_table(p, columns=["embedding"])
-            k_auto = auto_n_centroids(t.num_rows, len(t.column("embedding")[0]))
+            # ...and the replicas=1 twin for the ann_ivf_auto row.
+            k_auto = _corpus_auto_k(p, 1)
             export_centroids_twin(
                 p, ORACLE_CENTROIDS_DIR, n_centroids=k_auto, metric="cosine",
             )

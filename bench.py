@@ -74,7 +74,10 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from opensearch_jvector_plugin_spark.entry_queries import QUERIES
+    from opensearch_jvector_plugin_spark.entry_queries import (
+        QUERIES,
+        serving_nprobe,
+    )
     from opensearch_jvector_plugin_spark.operators.build import build_index
     from opensearch_jvector_plugin_spark.operators.query import load_index, search
     from opensearch_jvector_plugin_spark.operators.vector_index import (
@@ -155,7 +158,10 @@ def main() -> None:
                 out = os.path.join(work_dir, f"vindex_retry{scratch_n[0]}")
             else:
                 out = vdir
-            build_vector_index(emb, out, n_centroids=16, pq_m=8)
+            # Flagship geometry (round 5): the scale-aware auto-k rule +
+            # dual assignment — what serving uses is what gets measured.
+            build_vector_index(emb, out, n_centroids=None, n_replicas=2,
+                               pq_m=8)
 
         vq_holder = {}
 
@@ -174,15 +180,18 @@ def main() -> None:
         def run_ivf_quantized():
             vidx = load_vector_index(vdir)
             ivf_search(
-                spark, vidx, vq(), k=10, nprobe=4, approximate_threshold=None
+                spark, vidx, vq(), k=10,
+                nprobe=serving_nprobe(vidx.manifest["n_centroids"]),
+                approximate_threshold=None,
             ).count()
 
         def run_ivf_pq():
             # Codec 2: PQ ADC first pass (m bytes/vector instead of dim+16).
             vidx = load_vector_index(vdir)
             ivf_search(
-                spark, vidx, vq(), k=10, nprobe=4, codec="pq",
-                approximate_threshold=None,
+                spark, vidx, vq(), k=10,
+                nprobe=serving_nprobe(vidx.manifest["n_centroids"]),
+                codec="pq", approximate_threshold=None,
             ).count()
 
         workloads: dict[str, object] = {

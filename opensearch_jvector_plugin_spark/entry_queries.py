@@ -373,19 +373,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VIDX_CACHE: dict[tuple[str, str], str] = {}
-# Bench-default serving config, tuned round 3 for the reference's recall
-# contract (KNNJVectorTests.java:612-613 asserts ~1.0 +- 0.05 on the
-# quantized path; we gate >= 0.9): dual assignment (boundary vectors sit in
-# their 2 nearest buckets) + 6/16 probes. Measured recall@10 vs brute force
-# = 0.92 at sf0.001/sf0.01/sf0.1 (BENCH.md round 3; replicas=1 nprobe=4 was
-# 0.70). Read cost: 6/16 of a 2x-replicated store = 0.75x the corpus bytes
-# per query — the honest price of 0.9+ recall on this weakly-clustered
-# synthetic corpus; real clustered embeddings need far fewer probes.
-IVF_TRAINED_NPROBE = 6
+# Flagship serving config (round 5: the scale-aware rule IS the default —
+# VERDICT r4 "next round" #3): n_centroids comes from auto_n_centroids
+# (max(round(sqrt N), 64MiB-bucket byte floor)), dual assignment
+# (boundary vectors sit in their 2 nearest buckets), and the probe count
+# carries round 3's tuned 6-of-16 fraction to any derived k as
+# ceil(3k/8) — integer arithmetic, mirrored exactly by the oracle SQL.
+# Recall contract (KNNJVectorTests.java:612-613 asserts ~1.0 +- 0.05 on
+# the quantized path): gate >= 0.9, measured in BENCH.md per round.
 IVF_REPLICAS = 2
 ORACLE_CENTROIDS_DIR = os.path.join(
     tempfile.gettempdir(), "ojs_ivf_centroids_v2"
 )
+
+
+def serving_nprobe(k: int) -> int:
+    """ceil(3k/8): the round-3 probe fraction (6 of 16) applied to the
+    auto-derived centroid count. Integer form `(3k + 7) // 8` so the
+    DuckDB twin computes the identical value."""
+    return (3 * int(k) + 7) // 8
+
+
+def _corpus_auto_k(emb_path: str, reps: int) -> int:
+    """Python side of the oracle's geometry derivation: the same
+    auto_n_centroids call build_vector_index applies when n_centroids is
+    None (pq_m=None for the serving index)."""
+    import pyarrow.parquet as pq
+
+    from .operators.vector_index import auto_n_centroids
+
+    t = pq.read_table(emb_path, columns=["embedding"])
+    return auto_n_centroids(
+        t.num_rows, len(t.column("embedding")[0]), None, reps
+    )
 
 
 def _vector_index_for(
@@ -394,33 +414,30 @@ def _vector_index_for(
 ) -> str:
     """Build (once per process per metric) the trained, persisted IVF index
     over the sf's embeddings; export the content-digest-keyed centroid twin
-    for the DuckDB oracle. auto_k=True exercises the scale-aware
-    n_centroids rule end-to-end (n_centroids=None, n_replicas=1): the twin
-    is exported at the SAME k the rule derives, computed here from the
-    corpus shape so both sides stay keyed identically."""
+    for the DuckDB oracle at the k the scale-aware rule derives (the
+    FLAGSHIP config is the rule — n_centroids=None; ADVICE r4 killed the
+    hardcoded twin k). auto_k=True is the replicas=1 variant that proves
+    the rule in isolation (the ann_ivf_auto row)."""
     from .operators.vector_index import build_vector_index, export_centroids_twin
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    if auto_k:
-        import pyarrow.parquet as pq
-
-        from .operators.vector_index import auto_n_centroids
-
-        t = pq.read_table(emb_path, columns=["embedding"])
-        k = auto_n_centroids(t.num_rows, len(t.column("embedding")[0]))
-        reps, requested = 1, None
-    else:
-        k, reps, requested = IVF_CENTROIDS, IVF_REPLICAS, IVF_CENTROIDS
+    reps = 1 if auto_k else IVF_REPLICAS
+    k = _corpus_auto_k(emb_path, reps)
     export_centroids_twin(
         emb_path, ORACLE_CENTROIDS_DIR, n_centroids=k, metric=metric,
     )
     key = (sf_dir, metric, auto_k)
     if key not in _VIDX_CACHE:
         d = tempfile.mkdtemp(prefix="ojs_vidx_")
-        build_vector_index(_emb(spark, sf_dir), d, n_centroids=requested,
-                           metric=metric, n_replicas=reps)
+        m = build_vector_index(_emb(spark, sf_dir), d, n_centroids=None,
+                               metric=metric, n_replicas=reps)
+        assert m["n_centroids"] == k, (m["n_centroids"], k)
         _VIDX_CACHE[key] = d
     return _VIDX_CACHE[key]
+
+
+def _idx_nprobe(idx) -> int:
+    return serving_nprobe(int(idx.manifest["n_centroids"]))
 
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,7 +450,7 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = load_vector_index(_vector_index_for(spark, sf_dir))
     return ivf_search_exact(
         spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
-        nprobe=IVF_TRAINED_NPROBE,
+        nprobe=_idx_nprobe(idx),
     )
 
 
@@ -447,7 +464,7 @@ def q_ann_ivf_trained_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = load_vector_index(_vector_index_for(spark, sf_dir, metric="l2"))
     return ivf_search_exact(
         spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
-        nprobe=IVF_TRAINED_NPROBE,
+        nprobe=_idx_nprobe(idx),
     )
 
 
@@ -462,7 +479,7 @@ def q_ann_ivf_trained_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_search_exact(
         spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
-        nprobe=IVF_TRAINED_NPROBE,
+        nprobe=_idx_nprobe(idx),
     )
 
 
@@ -483,7 +500,7 @@ def q_ann_ivf_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = load_vector_index(_vector_index_for(spark, sf_dir))
     return ivf_search_radial(
         spark, idx, _ann_queries(spark, sf_dir),
-        min_score=ANN_RADIAL_MIN_SCORE, nprobe=IVF_TRAINED_NPROBE,
+        min_score=ANN_RADIAL_MIN_SCORE, nprobe=_idx_nprobe(idx),
         codec="sq",
     )
 
@@ -501,7 +518,7 @@ def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_search_exact(
         spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
-        nprobe=IVF_TRAINED_NPROBE, allowed=allowed,
+        nprobe=_idx_nprobe(idx), allowed=allowed,
     )
 
 
@@ -518,7 +535,7 @@ def q_ann_ivf_radial_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = load_vector_index(_vector_index_for(spark, sf_dir, metric="l2"))
     return ivf_search_radial(
         spark, idx, _ann_queries(spark, sf_dir),
-        max_distance=ANN_RADIAL_MAX_DISTANCE_L2, nprobe=IVF_TRAINED_NPROBE,
+        max_distance=ANN_RADIAL_MAX_DISTANCE_L2, nprobe=_idx_nprobe(idx),
         codec="sq",
     )
 
@@ -1260,10 +1277,9 @@ SQL_TRANSCRIPT_BM25 = _transcript_sql()
 
 def _ivf_trained_sql(
     metric: str,
-    nprobe: int = IVF_TRAINED_NPROBE,
+    nprobe: int | None = None,
     replicas: int = IVF_REPLICAS,
     cand_filter: str = "",
-    k_centroids: int = IVF_CENTROIDS,
 ) -> str:
     """Oracle for the trained+persisted IVF index, parameterized by space.
 
@@ -1271,6 +1287,12 @@ def _ivf_trained_sql(
     the embeddings table (DIGEST_SQL_EMBEDDINGS == corpus_digest, verified
     bit-identical) plus metric and centroid count — never by row count, so
     equal-size corpora (sf0.001 vs sf0.01, both 500 rows) cannot collide.
+    The centroid count itself is DERIVED IN SQL from the table (the `geo`
+    CTE mirrors auto_n_centroids with pq_m=None at this replica count —
+    integer arithmetic, bit-identical on both sides), so the oracle adapts
+    to any sf instead of pinning a stale constant (ADVICE r4: the old
+    IVF_AUTO_K=22 silently broke on the 2000-row sf0.1 table). nprobe=None
+    likewise derives the serving fraction ceil(3k/8) in SQL.
     Assignment and probing order by the UNROUNDED left-fold metric (the
     Spark build computes the same values bit-identically via the fold-exact
     numpy kernels), ties to the lowest centroid_id; only the final rank
@@ -1285,12 +1307,28 @@ def _ivf_trained_sql(
         dist, order, out = _IP, "DESC", "distance"
     else:
         raise ValueError(f"unknown IVF metric {metric!r}")
+    # auto_n_centroids twin: row_bytes = (5*dim + 28) * replicas (float32
+    # embedding + int8 qvec + scales/norm/id; pq_m=None for serving),
+    # k = max(1, min(n, max(round(sqrt n), ceil(n*row_bytes / 64MiB)))).
+    budget = 64 << 20
+    np_sql = (
+        str(int(nprobe))
+        if nprobe is not None
+        else "(SELECT ((3 * k) + 7) // 8 FROM geo)"
+    )
     return f"""
-WITH cents AS (
+WITH geo AS (
+  SELECT GREATEST(1, LEAST(n, GREATEST(
+           CAST(round(sqrt(n)) AS BIGINT),
+           ((n * (5 * dim + 28) * {int(replicas)}) + {budget - 1}) // {budget}
+         )))::BIGINT AS k
+  FROM (SELECT count(*) AS n, max(len(embedding)) AS dim FROM embeddings)
+),
+cents AS (
   SELECT centroid_id::INT AS centroid_id, cvec::DOUBLE[] AS cvec
   FROM read_parquet('{ORACLE_CENTROIDS_DIR}/*.parquet')
   WHERE digest = {DIGEST_SQL_EMBEDDINGS}
-    AND metric = '{metric}' AND k_centroids = {k_centroids}
+    AND metric = '{metric}' AND k_centroids = (SELECT k FROM geo)
 ),
 e AS (
   SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1319,7 +1357,7 @@ probes AS (
                       c.centroid_id ASC
            ) AS rn
     FROM q CROSS JOIN cents c
-  ) WHERE rn <= {nprobe}
+  ) WHERE rn <= {np_sql}
 ),
 cand AS (
   SELECT DISTINCT p.query_id, a.vec_id
@@ -1378,14 +1416,13 @@ FROM ranked
 SQL_ANN_IVF_RADIAL = _ivf_radial_sql(ANN_RADIAL_MIN_SCORE)
 SQL_ANN_IVF_RADIAL_L2 = _ivf_radial_sql(1.8, metric="l2")
 
-# Auto-k oracle: every test sf ships a 500-row embeddings table (the
-# digest, not the count, keys the twin), so the scale-aware rule
-# auto_n_centroids(500, dim=64) resolves to round(sqrt(500)) = 22 at both
-# oracle sfs; the Spark side computes the same k from the same inputs.
-IVF_AUTO_K = 22
+# Auto-k oracle (replicas=1 — the isolated proof of the rule): the geo
+# CTE derives k from the sf's own embeddings table in SQL (round 5;
+# ADVICE r4 killed the hardcoded k=22, which silently broke on the
+# 2000-row sf0.1 table where the rule gives 45).
 IVF_AUTO_NPROBE = 6
 SQL_ANN_IVF_AUTO = _ivf_trained_sql(
-    "cosine", nprobe=IVF_AUTO_NPROBE, replicas=1, k_centroids=IVF_AUTO_K
+    "cosine", nprobe=IVF_AUTO_NPROBE, replicas=1
 )
 SQL_ANN_IVF_FILTERED = _ivf_trained_sql(
     "cosine",

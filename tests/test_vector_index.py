@@ -233,24 +233,26 @@ def test_replicated_assignment_dedups_and_lifts_recall(spark, tmp_path):
 
 def test_bench_default_recall_gate(spark, tmp_path):
     """Pinned recall contract at the DRIVER-DEFAULT serving config
-    (entry_queries.IVF_REPLICAS / IVF_TRAINED_NPROBE): recall@10 vs brute
+    (round 5: auto-k via the scale-aware rule + IVF_REPLICAS dual
+    assignment + the ceil(3k/8) probe fraction): recall@10 vs brute
     force >= 0.9 — the reference's quantized-path recall discipline
-    (KNNJVectorTests.java:612-613,917-925). Measured 0.92 on all three sfs
-    round 3; bound set at the contract, not the measurement."""
+    (KNNJVectorTests.java:612-613,917-925). Bound set at the contract,
+    not the measurement (per-round numbers live in BENCH.md)."""
     from opensearch_jvector_plugin_spark.entry_queries import (
-        IVF_CENTROIDS,
         IVF_REPLICAS,
-        IVF_TRAINED_NPROBE,
+        serving_nprobe,
     )
 
     emb = spark.read.parquet(EMB)
     d = str(tmp_path / "vidx_gate")
-    build_vector_index(emb, d, n_centroids=IVF_CENTROIDS,
-                       n_replicas=IVF_REPLICAS)
+    m = build_vector_index(emb, d, n_centroids=None,
+                           n_replicas=IVF_REPLICAS)
     idx = load_vector_index(d)
     brute = cosine_topk(emb, queries_df(spark), k=10).toPandas()
-    got = ivf_search_exact(spark, idx, queries_df(spark), k=10,
-                           nprobe=IVF_TRAINED_NPROBE).toPandas()
+    got = ivf_search_exact(
+        spark, idx, queries_df(spark), k=10,
+        nprobe=serving_nprobe(m["n_centroids"]),
+    ).toPandas()
     hits = sum(
         len(set(brute[brute.query_id == q]["vec_id"])
             & set(got[got.query_id == q]["vec_id"]))
