@@ -68,16 +68,23 @@ def _manifest_path(index_dir: str, seg_id: int) -> str:
     return os.path.join(index_dir, "manifests", f"seg-{seg_id:05d}.json")
 
 
-def committed_segments(index_dir: str) -> dict[int, dict]:
+def _text_storage(storage):
+    if storage is not None:
+        return storage
+    from ..storage import PosixStorage
+
+    return PosixStorage()
+
+
+def committed_segments(index_dir: str, storage=None) -> dict[int, dict]:
     """seg_id -> manifest for every committed (resumable-skip) segment."""
+    st = _text_storage(storage)
     mdir = os.path.join(index_dir, "manifests")
     out = {}
-    if os.path.isdir(mdir):
-        for name in sorted(os.listdir(mdir)):
-            if name.startswith("seg-") and name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    m = json.load(f)
-                out[int(m["segment_id"])] = m
+    for name in st.list_dir(mdir):
+        if name.startswith("seg-") and name.endswith(".json"):
+            m = json.loads(st.read_bytes(os.path.join(mdir, name)))
+            out[int(m["segment_id"])] = m
     return out
 
 
@@ -90,6 +97,7 @@ def build_index(
     resume: bool = True,
     input_fingerprint: str = "",
     align_partitions: bool = False,
+    storage=None,
 ) -> dict:
     """Build (or resume building) the segment index. Returns the final
     index-level stats dict (also persisted as stats.json).
@@ -101,12 +109,21 @@ def build_index(
     may then overlap; query is unaffected (docIDs are global) and merge
     re-sorts by docID. Resume granularity follows partition ids, which are
     stable only if the input file layout and read conf are unchanged.
+
+    Storage contract (round 5): segment DATA files are written
+    executor-side through the cluster filesystem layer, create-only —
+    visibility is gated by the manifest, never by the data write, so no
+    rename is load-bearing there. COMMIT MARKERS (per-segment manifests,
+    stats.json) flow through the driver-side IndexStorage client
+    (`storage`, default PosixStorage) — one atomic whole-object PUT each,
+    the same object-store-portable protocol as the vector index.
     """
     spark = corpus.sparkSession
-    os.makedirs(os.path.join(index_dir, "manifests"), exist_ok=True)
-    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    st = _text_storage(storage)
+    st.mkdirs(os.path.join(index_dir, "manifests"))
+    st.mkdirs(os.path.join(index_dir, "segments"))
 
-    done = committed_segments(index_dir) if resume else {}
+    done = committed_segments(index_dir, storage=st) if resume else {}
     skip_ids = sorted(done)
 
     if align_partitions:
@@ -236,13 +253,12 @@ def build_index(
             "build_ms": int(row["build_ms"]),
             "input_fingerprint": input_fingerprint,
         }
-        path = _manifest_path(index_dir, int(row["seg_id"]))
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
-        os.replace(tmp, path)
+        st.put_bytes(
+            _manifest_path(index_dir, int(row["seg_id"])),
+            json.dumps(m, indent=1, sort_keys=True).encode(),
+        )
 
-    stats = finalize_index(spark, index_dir)
+    stats = finalize_index(spark, index_dir, storage=st)
     from ..plans.metrics import append_metrics
 
     append_metrics(
@@ -256,16 +272,18 @@ def build_index(
             "align_partitions": align_partitions,
             "input_fingerprint": input_fingerprint,
         },
+        storage=st,
     )
     return stats
 
 
-def finalize_index(spark: SparkSession, index_dir: str) -> dict:
+def finalize_index(spark: SparkSession, index_dir: str, storage=None) -> dict:
     """stats.json + global term dictionary from committed manifests.
 
     The dict job reads only metadata columns of the segment postings -
     Parquet column pruning never touches the blobs."""
-    manifests = committed_segments(index_dir)
+    st = _text_storage(storage)
+    manifests = committed_segments(index_dir, storage=st)
     n_docs = sum(m["n_docs"] for m in manifests.values())
     total_dl = sum(m["sum_dl"] for m in manifests.values())
     stats = {
@@ -278,10 +296,10 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
         "n_segments": len(manifests),
         "build_ms_total": sum(m["build_ms"] for m in manifests.values()),
     }
-    tmp = os.path.join(index_dir, "stats.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(stats, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(index_dir, "stats.json"))
+    st.put_bytes(
+        os.path.join(index_dir, "stats.json"),
+        json.dumps(stats, indent=1, sort_keys=True).encode(),
+    )
 
     seg_glob = os.path.join(index_dir, "segments")
     if manifests:

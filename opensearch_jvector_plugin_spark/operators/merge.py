@@ -48,10 +48,18 @@ def merge_segments(
     index: IndexHandle,
     fan_in: int | None = None,
     codec: str = "varint",
+    storage=None,
 ) -> dict:
     """Merge the segment index into ceil(n_segments / fan_in) merged
-    segments (fan_in=None -> one segment, the forceMerge(1) analog)."""
-    manifests = committed_segments(index.index_dir)
+    segments (fan_in=None -> one segment, the forceMerge(1) analog).
+    The merged-manifest commit marker flows through the IndexStorage
+    client (one atomic PUT; same protocol as build/vector maintenance);
+    merged DATA files are create-only through the cluster FS, gated by
+    that marker."""
+    from .build import _text_storage
+
+    st = _text_storage(storage)
+    manifests = committed_segments(index.index_dir, storage=st)
     seg_ids = sorted(manifests)
     if not seg_ids:
         raise ValueError("no committed segments to merge")
@@ -219,10 +227,10 @@ def merge_segments(
             for r in sorted(summaries, key=lambda r: r["seg_id"])
         ],
     }
-    tmp = os.path.join(index.index_dir, "merged_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(index.index_dir, "merged_manifest.json"))
+    st.put_bytes(
+        os.path.join(index.index_dir, "merged_manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True).encode(),
+    )
     from ..plans.metrics import append_metrics
 
     append_metrics(

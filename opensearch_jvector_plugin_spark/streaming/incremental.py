@@ -62,20 +62,28 @@ def _stream_log_path(index_dir: str) -> str:
     return os.path.join(index_dir, "stream_log.json")
 
 
-def _read_stream_log(index_dir: str) -> dict:
+def _read_stream_log(index_dir: str, storage=None) -> dict:
+    from ..operators.build import _text_storage
+
+    st = _text_storage(storage)
     p = _stream_log_path(index_dir)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
+    if st.exists(p):
+        return json.loads(st.read_bytes(p))
     return {"committed": {}, "pending": None}
 
 
-def _write_stream_log(index_dir: str, log: dict) -> None:
-    os.makedirs(index_dir, exist_ok=True)
-    tmp = _stream_log_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(log, f, indent=1, sort_keys=True)
-    os.replace(tmp, _stream_log_path(index_dir))
+def _write_stream_log(index_dir: str, log: dict, storage=None) -> None:
+    """Epoch-journal commit marker — one atomic whole-object PUT through
+    the IndexStorage client (object-store-portable, like every other
+    commit marker in the engine)."""
+    from ..operators.build import _text_storage
+
+    st = _text_storage(storage)
+    st.mkdirs(index_dir)
+    st.put_bytes(
+        _stream_log_path(index_dir),
+        json.dumps(log, indent=1, sort_keys=True).encode(),
+    )
 
 
 def _rollback_segments_from(

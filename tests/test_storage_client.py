@@ -208,3 +208,165 @@ def test_rebuild_gcs_stale_generations(spark, tmp_path):
     ]
     assert layouts == ["buckets"]
     assert load_vector_index(d).bucket_scan(spark).count() == 60
+
+
+# ----------------------------------------------- crash-injection sweep
+
+
+class _CrashError(RuntimeError):
+    pass
+
+
+class CrashingStorage(FakeObjectStorage):
+    """Raises after `budget` mutating ops — driving the append protocol
+    through EVERY crash window (intent PUT, each staged COPY, each staged
+    DELETE, the commit PUT) one test iteration at a time."""
+
+    def __init__(self, root=None, budget=10**9):
+        super().__init__(root)
+        self.budget = budget
+
+    def _spend(self):
+        if len(self.ops) >= self.budget:
+            raise _CrashError(f"injected crash at op {len(self.ops)}")
+
+    def put_bytes(self, path, data):
+        self._spend()
+        return super().put_bytes(path, data)
+
+    def move_file(self, src, dst):
+        self._spend()
+        return super().move_file(src, dst)
+
+    def delete(self, path):
+        self._spend()
+        return super().delete(path)
+
+
+def test_append_exactly_once_under_crash_sweep(spark, tmp_path):
+    """Property: for EVERY prefix of the append's mutating-op sequence, a
+    crash after that prefix followed by (a) a read-only load and (b) a
+    retried epoch yields: the reader never serves a partial batch, and
+    the retry commits the batch exactly once. This sweeps every window of
+    the 3-step commit (intent PUT / staged COPY+DELETE moves / commit
+    PUT) mechanically instead of hand-picking two scenarios."""
+    d = str(tmp_path / "vidx")
+    base = FakeObjectStorage(d)
+    build_vector_index(_emb_df(spark, _good_rows(30)), d, n_centroids=3,
+                       storage=base)
+
+    # Dry run to learn the op-sequence length of a successful append.
+    probe = CrashingStorage(d)
+    append_vectors(_emb_df(spark, _good_rows(8, start=100)), d, batch_id=1,
+                   storage=probe)
+    n_ops = len(probe.ops)
+    assert n_ops >= 4  # intent + >=1 copy + >=1 delete + commit
+    # Reset to the post-build state for the sweep.
+    import shutil as _sh
+
+    _sh.rmtree(d)
+    base = FakeObjectStorage(d)
+    build_vector_index(_emb_df(spark, _good_rows(30)), d, n_centroids=3,
+                       storage=base)
+    snapshot = {}
+    for sub, _, files in os.walk(d):
+        for fn in files:
+            p = os.path.join(sub, fn)
+            snapshot[p] = open(p, "rb").read()
+
+    new_rows = _good_rows(8, start=100)
+    # Every distinct window: before intent (0), after intent (1), inside
+    # the staged COPY+DELETE moves, the commit PUT, and the post-commit
+    # cleanup tail (n_ops-1). The deep cleanup tail is one repeated
+    # delete-window — sweep its first instance plus the final op instead
+    # of every member, keeping the test a sweep, not a soak.
+    budgets = sorted(set(list(range(0, min(n_ops, 10))) + [n_ops - 1]))
+    for budget in budgets:
+        # restore pristine post-build state
+        _sh.rmtree(d)
+        for p, data in snapshot.items():
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(data)
+        crasher = CrashingStorage(d, budget=budget)
+        try:
+            append_vectors(_emb_df(spark, new_rows), d, batch_id=1,
+                           storage=crasher)
+            crashed = False
+        except _CrashError:
+            crashed = True
+        # (a) read-only load after the crash: serves exactly the
+        # pre-append corpus, touches nothing.
+        reader = FakeObjectStorage(d)
+        idx = load_vector_index(d, storage=reader)
+        served = idx.bucket_scan(spark)
+        if crashed and idx.manifest.get("pending_batch_id") is not None:
+            assert served.count() == 30, budget
+        assert served.select("vec_id").distinct().count() == served.count()
+        assert reader.ops == [], budget  # reader mutated NOTHING
+        # (b) retried epoch commits exactly once.
+        m = append_vectors(_emb_df(spark, new_rows), d, batch_id=1,
+                           storage=FakeObjectStorage(d))
+        assert m["n_vecs"] == 38, budget
+        got = load_vector_index(d, storage=FakeObjectStorage(d)).bucket_scan(
+            spark
+        )
+        assert got.count() == 38, budget
+        assert got.select("vec_id").distinct().count() == 38, budget
+
+
+# ------------------------------------------- text-side commit markers
+
+
+def test_text_index_commit_markers_on_object_store(spark, tmp_path):
+    """The TEXT engine's control plane shares the protocol: segment
+    manifests, stats.json, the merged manifest, and the streaming epoch
+    journal are each one atomic PUT through the client — build, query,
+    and merge run with commit markers on the fake object store (data
+    files are create-only through the cluster FS layer, gated by those
+    markers)."""
+    from opensearch_jvector_plugin_spark.operators.build import (
+        build_index,
+        committed_segments,
+    )
+    from opensearch_jvector_plugin_spark.operators.merge import (
+        merge_segments,
+    )
+    from opensearch_jvector_plugin_spark.operators.query import (
+        load_index,
+        search,
+    )
+    from opensearch_jvector_plugin_spark.plans.docids import assign_doc_ids
+    from opensearch_jvector_plugin_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    d = str(tmp_path / "tindex")
+    fake = FakeObjectStorage(d)
+    corpus = assign_doc_ids(
+        synthesize_transcripts(spark, 40, 5), ["conv_id", "turn_idx"]
+    )
+    stats = build_index(corpus, d, seg_size=50, storage=fake)
+    assert stats["n_docs"] == 200
+    assert len(committed_segments(d, storage=fake)) == stats["n_segments"]
+    # Markers went through the client (PUTs recorded), none were renamed.
+    marker_puts = [op for op in fake.ops if op[0] == "put"]
+    assert any("manifests/seg-" in op[1] for op in marker_puts)
+    assert any(op[1].endswith("stats.json") for op in marker_puts)
+    assert all(op[0] in ("put", "copy", "delete") for op in fake.ops)
+
+    qs = pd.DataFrame(
+        {"query_id": [0], "query_text": ["hotcommon raretermaaa"], "k": [5]}
+    )
+    index = load_index(d)
+    n_before = search(spark, index, qs).count()
+    assert n_before > 0
+
+    merge_segments(spark, index, storage=fake)
+    assert any(
+        op[1].endswith("merged_manifest.json")
+        for op in fake.ops
+        if op[0] == "put"
+    )
+    n_after = search(spark, load_index(d), qs).count()
+    assert n_after == n_before
