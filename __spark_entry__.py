@@ -36,6 +36,7 @@ def oracle_sql() -> dict[str, str]:
     import os
 
     from opensearch_jvector_plugin_spark.entry_queries import (
+        IVF_PQ_M,
         IVF_REPLICAS,
         ORACLE_CENTROIDS_DIR,
         _corpus_auto_k,
@@ -55,7 +56,7 @@ def oracle_sql() -> dict[str, str]:
             # Flagship serving twins at the k the scale-aware rule derives
             # for THIS corpus at the flagship replica count (round 5: the
             # rule is the default geometry, nothing is hardcoded)...
-            k_flag = _corpus_auto_k(p, IVF_REPLICAS)
+            k_flag = _corpus_auto_k(p, IVF_REPLICAS, IVF_PQ_M)
             for metric in ("cosine", "l2", "innerproduct"):
                 export_centroids_twin(
                     p, ORACLE_CENTROIDS_DIR, n_centroids=k_flag,

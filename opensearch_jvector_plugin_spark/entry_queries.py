@@ -394,17 +394,20 @@ def serving_nprobe(k: int) -> int:
     return (3 * int(k) + 7) // 8
 
 
-def _corpus_auto_k(emb_path: str, reps: int) -> int:
+IVF_PQ_M = 8  # flagship indexes carry both codecs (sq + PQ codebooks)
+
+
+def _corpus_auto_k(emb_path: str, reps: int, pq_m: int | None = None) -> int:
     """Python side of the oracle's geometry derivation: the same
     auto_n_centroids call build_vector_index applies when n_centroids is
-    None (pq_m=None for the serving index)."""
+    None."""
     import pyarrow.parquet as pq
 
     from .operators.vector_index import auto_n_centroids
 
     t = pq.read_table(emb_path, columns=["embedding"])
     return auto_n_centroids(
-        t.num_rows, len(t.column("embedding")[0]), None, reps
+        t.num_rows, len(t.column("embedding")[0]), pq_m, reps
     )
 
 
@@ -422,7 +425,8 @@ def _vector_index_for(
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     reps = 1 if auto_k else IVF_REPLICAS
-    k = _corpus_auto_k(emb_path, reps)
+    pq_m = None if auto_k else IVF_PQ_M
+    k = _corpus_auto_k(emb_path, reps, pq_m)
     export_centroids_twin(
         emb_path, ORACLE_CENTROIDS_DIR, n_centroids=k, metric=metric,
     )
@@ -430,7 +434,7 @@ def _vector_index_for(
     if key not in _VIDX_CACHE:
         d = tempfile.mkdtemp(prefix="ojs_vidx_")
         m = build_vector_index(_emb(spark, sf_dir), d, n_centroids=None,
-                               metric=metric, n_replicas=reps)
+                               metric=metric, n_replicas=reps, pq_m=pq_m)
         assert m["n_centroids"] == k, (m["n_centroids"], k)
         _VIDX_CACHE[key] = d
     return _VIDX_CACHE[key]
@@ -519,6 +523,25 @@ def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_exact(
         spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
         nprobe=_idx_nprobe(idx), allowed=allowed,
+    )
+
+
+def q_ann_ivf_radial_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial search served via the PQ codec (codec 2): the first pass
+    reads only the m-byte PQ codes plus the stored per-vector
+    reconstruction-error norm (pq_encode_with_err), applies the
+    conservative `adc +/- pqerr` threshold cut, and exact-verifies
+    survivors. EXACT BY CONSTRUCTION at any scale — the bound admits no
+    false negatives (property-tested) and verification removes false
+    positives — so the oracle is the same radial SQL as the sq/exact
+    paths (this row proves the PQ codec end-to-end against DuckDB)."""
+    from .operators.vector_index import ivf_search_radial, load_vector_index
+
+    idx = load_vector_index(_vector_index_for(spark, sf_dir))
+    return ivf_search_radial(
+        spark, idx, _ann_queries(spark, sf_dir),
+        min_score=ANN_RADIAL_MIN_SCORE, nprobe=_idx_nprobe(idx),
+        codec="pq",
     )
 
 
@@ -1280,6 +1303,7 @@ def _ivf_trained_sql(
     nprobe: int | None = None,
     replicas: int = IVF_REPLICAS,
     cand_filter: str = "",
+    pq_m: int | None = IVF_PQ_M,
 ) -> str:
     """Oracle for the trained+persisted IVF index, parameterized by space.
 
@@ -1307,10 +1331,11 @@ def _ivf_trained_sql(
         dist, order, out = _IP, "DESC", "distance"
     else:
         raise ValueError(f"unknown IVF metric {metric!r}")
-    # auto_n_centroids twin: row_bytes = (5*dim + 28) * replicas (float32
-    # embedding + int8 qvec + scales/norm/id; pq_m=None for serving),
+    # auto_n_centroids twin: row_bytes = (5*dim + 28 + pq_m) * replicas
+    # (float32 embedding + int8 qvec + scales/norm/id + PQ code bytes),
     # k = max(1, min(n, max(round(sqrt n), ceil(n*row_bytes / 64MiB)))).
     budget = 64 << 20
+    pq_bytes = int(pq_m or 0)
     np_sql = (
         str(int(nprobe))
         if nprobe is not None
@@ -1320,7 +1345,7 @@ def _ivf_trained_sql(
 WITH geo AS (
   SELECT GREATEST(1, LEAST(n, GREATEST(
            CAST(round(sqrt(n)) AS BIGINT),
-           ((n * (5 * dim + 28) * {int(replicas)}) + {budget - 1}) // {budget}
+           ((n * (5 * dim + 28 + {pq_bytes}) * {int(replicas)}) + {budget - 1}) // {budget}
          )))::BIGINT AS k
   FROM (SELECT count(*) AS n, max(len(embedding)) AS dim FROM embeddings)
 ),
@@ -1422,7 +1447,7 @@ SQL_ANN_IVF_RADIAL_L2 = _ivf_radial_sql(1.8, metric="l2")
 # 2000-row sf0.1 table where the rule gives 45).
 IVF_AUTO_NPROBE = 6
 SQL_ANN_IVF_AUTO = _ivf_trained_sql(
-    "cosine", nprobe=IVF_AUTO_NPROBE, replicas=1
+    "cosine", nprobe=IVF_AUTO_NPROBE, replicas=1, pq_m=None
 )
 SQL_ANN_IVF_FILTERED = _ivf_trained_sql(
     "cosine",
@@ -1515,6 +1540,7 @@ QUERIES = {
     "ann_ivf_trained_l2": q_ann_ivf_trained_l2,
     "ann_ivf_trained_ip": q_ann_ivf_trained_ip,
     "ann_ivf_radial": q_ann_ivf_radial,
+    "ann_ivf_radial_pq": q_ann_ivf_radial_pq,
     "ann_ivf_radial_l2": q_ann_ivf_radial_l2,
     "ann_ivf_auto": q_ann_ivf_auto,
     "ann_ivf_filtered": q_ann_ivf_filtered,
@@ -1555,6 +1581,9 @@ ORACLES = {
     "ann_ivf_trained_l2": SQL_ANN_IVF_TRAINED_L2,
     "ann_ivf_trained_ip": SQL_ANN_IVF_TRAINED_IP,
     "ann_ivf_radial": SQL_ANN_IVF_RADIAL,
+    # PQ-served radial is bit-identical to exact by construction
+    # (conservative bound + exact verify), so it shares the radial oracle.
+    "ann_ivf_radial_pq": SQL_ANN_IVF_RADIAL,
     "ann_ivf_radial_l2": SQL_ANN_IVF_RADIAL_L2,
     "ann_ivf_auto": SQL_ANN_IVF_AUTO,
     "ann_ivf_filtered": SQL_ANN_IVF_FILTERED,
