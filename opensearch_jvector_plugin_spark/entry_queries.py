@@ -22,11 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .functions.bm25 import BM25_B, BM25_K1
+from .functions.bm25 import BM25_B, BM25_K1, bm25_tf_norm_sql
+from .functions.tokenizer import tokenize_text
 from .operators import dedup as dd
 from .operators import similarity as sim
 from .operators import textstats as ts
 from .operators.build import build_index
+from .operators.phrase import msm_scores, phrase_scores, search_phrase
 from .operators.query import load_index, search
 from .operators.score import score_all
 from .plans.stats import corpus_stats, postings_df, term_stats
@@ -192,6 +194,81 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = score_all(docs, queries, stats=full_stats, postings=postings,
                        term_df=term_df)
     ks = queries.select("query_id", F.col("k").alias("_k"))
+    return _rank_rounded(scored, ks)
+
+
+# Phrase query set: matching 2-term phrases, an overlapping repeated-term
+# phrase, a phrase with an OOV term (zero matches), a long rare phrase, and
+# a duplicated-term phrase (operators/phrase.py semantics).
+PHRASE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table scan", 10),
+    (1, "sort merge", 10),
+    (2, "batch batch", 10),
+    (3, "merge zzznotaword", 10),
+    (4, "the fast key order", 5),
+    (5, "data data", 10),
+]
+
+
+def _phrase_queries_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        PHRASE_QUERIES, columns=["query_id", "query_text", "k"]
+    )
+
+
+def _phrase_ks(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(q, k) for q, _t, k in PHRASE_QUERIES], "query_id INT, _k LONG"
+    )
+
+
+def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase top-k, declarative path: phraseFreq is a codegen'd
+    positional projection over the tokenized scan (no explode, no shuffle),
+    scored Lucene-PhraseWeight-style (idf sum over phrase occurrences ×
+    tf_norm at exact dl)."""
+    scored = phrase_scores(_docs(spark, sf_dir), _phrase_queries_pdf())
+    return _rank_rounded(scored, _phrase_ks(spark))
+
+
+def q_bm25_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract served from the segment index: conjunctive candidates
+    via in-kernel docID-sorted posting intersection, then positional
+    verification of the candidates only (operators/phrase.py)."""
+    idx = load_index(_index_for(spark, sf_dir))
+    scored = search_phrase(
+        spark, idx, _docs(spark, sf_dir), _phrase_queries_pdf()
+    )
+    return _rank_rounded(scored, _phrase_ks(spark))
+
+
+# minimum_should_match query set: (query_id, text, k, msm over DISTINCT
+# terms) — a 3-of-4, a 2-of-3, a full conjunction, an msm that needs an OOV
+# term (empty), and a duplicated-term query (duplicates collapse).
+MSM_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "spark join window merge", 10, 3),
+    (1, "customer vector stream", 10, 2),
+    (2, "slow fast big small", 12, 4),
+    (3, "data zzznotaword", 10, 2),
+    (4, "the data data group", 8, 3),
+]
+
+
+def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanQuery.minimumNumberShouldMatch analog: BM25 top-k restricted
+    to docs matching >= msm distinct query terms (operators/phrase.py)."""
+    queries = spark.createDataFrame(
+        [(q, t, k) for q, t, k, _m in MSM_QUERIES],
+        "query_id INT, query_text STRING, k LONG",
+    )
+    scored = msm_scores(
+        _docs(spark, sf_dir), queries, {q: m for q, _t, _k, m in MSM_QUERIES}
+    )
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k, _m in MSM_QUERIES], "query_id INT, _k LONG"
+    )
     return _rank_rounded(scored, ks)
 
 
@@ -769,7 +846,8 @@ scored AS (
            * (tf.tf * {BM25_K1 + 1.0})
              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
                 + {BM25_B} * doclen.dl / s.avgdl))
-         ) AS score
+         ) AS score,
+         count(*)::BIGINT AS n_matched
   FROM qt
   JOIN dfreq USING (term)
   JOIN tf USING (term)
@@ -817,6 +895,99 @@ WHERE s.score >= ms.min_score
 
 
 SQL_BM25_MINSCORE = _minscore_sql()
+
+
+def _phrase_idf_sql(terms: list[str]) -> str:
+    """Occurrence-order left-fold of the phrase terms' idfs, with df as a
+    scalar subquery per term — MUST match phrase_scores' Column chain and
+    search_phrase's driver fold operation-for-operation (fold-exact
+    discipline, operators/phrase.py docstring)."""
+    parts = []
+    for t in terms:
+        df = f"(SELECT count(*) FROM corpus WHERE list_contains(toks, '{t}'))"
+        parts.append(f"ln(1.0 + (s.n_docs - {df} + 0.5) / ({df} + 0.5))")
+    return " + ".join(parts)  # left-associative, same as the Column chain
+
+
+def _phrase_sql() -> str:
+    pf_parts, whens = [], []
+    for qid, text, _k in PHRASE_QUERIES:
+        terms = tokenize_text(text)
+        n = len(terms)
+        cond = " AND ".join(
+            f"toks[i+{j}] = '{t}'" if j else f"toks[i] = '{t}'"
+            for j, t in enumerate(terms)
+        )
+        pf = f"len(list_filter(range(1, len(toks) - {n} + 2), i -> {cond}))"
+        pf_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, len(toks)::BIGINT AS dl,"
+            f" {pf}::BIGINT AS pf FROM corpus"
+        )
+        whens.append(f"WHEN {qid} THEN ({_phrase_idf_sql(terms)})")
+    tf_norm = bm25_tf_norm_sql("p.pf", "p.dl", "s.avgdl")
+    ks = ", ".join(f"({q}, {k})" for q, _t, k in PHRASE_QUERIES)
+    return f"""
+WITH corpus AS (
+  {_DOCS_CORPUS_SQL}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(len(toks))::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM corpus
+),
+pf AS (
+  {" UNION ALL ".join(pf_parts)}
+),
+scored AS (
+  SELECT p.query_id, p.doc_id,
+         (CASE p.query_id {" ".join(whens)} END) * {tf_norm} AS score
+  FROM pf p CROSS JOIN stats s
+  WHERE p.pf > 0
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+),
+ks(query_id, k) AS (VALUES {ks})
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM ranked r JOIN ks ON r.query_id = ks.query_id
+WHERE r.rank <= ks.k
+"""
+
+
+SQL_BM25_PHRASE = _phrase_sql()
+
+
+def _msm_sql() -> str:
+    ctes = _bm25_ctes(queries=[(q, t, k) for q, t, k, _m in MSM_QUERIES])
+    rows = ", ".join(f"({q}, {m})" for q, _t, _k, m in MSM_QUERIES)
+    return (
+        "WITH "
+        + ctes
+        + f""",
+msm(query_id, msm) AS (VALUES {rows}),
+mranked AS (
+  SELECT s.query_id,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(s.score, 6) DESC, s.doc_id ASC
+         ) AS rank,
+         s.doc_id, round(s.score, 6) AS score
+  FROM scored s JOIN msm USING (query_id)
+  WHERE s.n_matched >= msm.msm
+)
+SELECT m.query_id, m.rank::INT AS rank, m.doc_id, m.score
+FROM mranked m JOIN q ON m.query_id = q.query_id
+WHERE m.rank <= q.k
+"""
+    )
+
+
+SQL_BM25_MSM = _msm_sql()
 
 
 def _maxdistance_sql() -> str:
@@ -1515,6 +1686,9 @@ QUERIES = {
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_minscore": q_bm25_minscore,
     "bm25_maxdistance": q_bm25_maxdistance,
+    "bm25_phrase": q_bm25_phrase,
+    "bm25_phrase_indexed": q_bm25_phrase_indexed,
+    "bm25_msm": q_bm25_msm,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "postings_sample": q_postings_sample,
@@ -1556,6 +1730,12 @@ ORACLES = {
     "bm25_topk_filtered": SQL_BM25_FILTERED,
     "bm25_minscore": SQL_BM25_MINSCORE,
     "bm25_maxdistance": SQL_BM25_MAXDISTANCE,
+    "bm25_phrase": SQL_BM25_PHRASE,
+    # Index-served phrase is score-identical to the declarative path by
+    # construction (conjunction candidates ⊇ phrase matches, same weight
+    # fold) — it shares the phrase oracle.
+    "bm25_phrase_indexed": SQL_BM25_PHRASE,
+    "bm25_msm": SQL_BM25_MSM,
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "postings_sample": SQL_POSTINGS_SAMPLE,

@@ -1,0 +1,383 @@
+"""Phrase and boolean (minimum_should_match) query surface.
+
+The reference delegates its text query surface to Lucene — PhraseQuery
+(exact phrase match scored with phraseFreq as the BM25 tf) and
+BooleanQuery.setMinimumNumberShouldMatch — while its own query classes cover
+only knn (KNNQueryBuilder.java builds vector queries and wraps arbitrary
+Lucene text queries as its `filter` clause). For the full-text engine these
+two query types ARE part of the serving contract, so they live here,
+Spark-first:
+
+- **Phrase frequency is a pure Catalyst projection**: `filter()` over a
+  position `sequence()` with `get()` lookups — whole-stage-codegen'd, zero
+  shuffle, zero Python. Overlapping occurrences count (Lucene
+  ExactPhraseMatcher semantics: one match per start position), and Spark's
+  subexpression elimination evaluates the tokenizer once per row no matter
+  how many phrase queries project over the same scan.
+- **Scoring contract** (Lucene PhraseWeight under BM25Similarity): the
+  phrase behaves as one pseudo-term with tf = phraseFreq and weight = the
+  sum of the phrase terms' idfs in OCCURRENCE order (duplicated terms
+  contribute once per occurrence), normalized by the standard tf_norm at
+  the document's exact dl. The occurrence-order left-fold is pinned in all
+  three implementations (Column chain / driver float chain / generated SQL)
+  so the compared doubles are bit-identical — the repo's fold-exact
+  discipline (PLANS.md).
+- **The indexed path is two-phase** like every served query in this engine:
+  candidate docIDs from the sorted intersection of the phrase terms'
+  posting lists (SURVEY §2.3 in-kernel docID-sorted intersection — a doc
+  lacking ANY phrase term cannot contain the phrase), then exact positional
+  verification of the candidates ONLY, against re-injected stored text
+  (the derived-source contract: the index never stores text). At 100 TB the
+  verification join touches |candidates| <= min-df(phrase terms) rows per
+  query, not the corpus; the candidate set rides a broadcast the same way
+  the rerank candidates do in vector_index.py.
+- **minimum_should_match counts DISTINCT matched query terms** (documented
+  deviation from Lucene's per-clause counting of duplicated terms: the
+  query compiler collapses duplicates into qtf weights, operators/score.py).
+  Scoring is identical to score_all; the msm cut is one extra conditional
+  aggregate on the same map-side-combined groupBy — no extra shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import bm25_idf, bm25_idf_py, bm25_tf_norm
+from ..functions.tokenizer import tokenize_col, tokenize_text
+from .query import (
+    IndexHandle,
+    _filter_terms,
+    _query_weights,
+    _segment_granularity,
+    decode_segment_postings,
+)
+from .score import query_terms_df
+from ..plans.stats import CorpusStats, corpus_stats, postings_df
+
+
+def phrase_freq_col(toks: Column, terms: list[str]) -> Column:
+    """Number of start positions where `terms` occur consecutively in the
+    token array — a codegen'd projection (no explode, no join, no Python).
+    Overlapping occurrences count once per start position."""
+    n = len(terms)
+    if n == 0:
+        return F.lit(0)
+
+    def match(i: Column) -> Column:
+        cond = F.get(toks, i) == F.lit(terms[0])
+        for off, t in enumerate(terms[1:], start=1):
+            cond = cond & (F.get(toks, i + F.lit(off)) == F.lit(t))
+        return cond
+
+    # sequence(0, size-n) DESCENDS when size < n — guard with when().
+    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    return F.when(
+        F.size(toks) >= n, F.size(F.filter(starts, match))
+    ).otherwise(F.lit(0))
+
+
+def phrase_freq_py(tokens: list[str], terms: list[str]) -> int:
+    """Pure-Python twin of phrase_freq_col (oracle / kernel verification)."""
+    n = len(terms)
+    if n == 0 or len(tokens) < n:
+        return 0
+    return sum(
+        1
+        for i in range(len(tokens) - n + 1)
+        if tokens[i : i + n] == terms
+    )
+
+
+def _compile_phrases(queries: pd.DataFrame) -> list[tuple[int, list[str]]]:
+    """(query_id, phrase token list) in input order, empty phrases dropped."""
+    out = []
+    for r in queries.itertuples(index=False):
+        toks = tokenize_text(r.query_text)
+        if toks:
+            out.append((int(r.query_id), toks))
+    return out
+
+
+def phrase_scores(
+    corpus: DataFrame,
+    queries: pd.DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Declarative phrase scoring: (query_id, doc_id, score) for every doc
+    containing each phrase at least once.
+
+    Plan shape (scale-first): TWO corpus scans total, both pure projections
+    into tiny aggregates — scan 1 folds (N, avgdl, per-term df) into ONE
+    row (df via array_contains, no explode, no shuffle of postings); scan 2
+    projects per-doc phrase frequencies for ALL queries at once and
+    explodes only the P-element struct array (P = #queries), keeping rows
+    with pf > 0. The per-query weight joins back as a broadcast of P rows.
+    """
+    qs = _compile_phrases(queries)
+    if not qs:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id INT, doc_id LONG, score DOUBLE"
+        )
+    base = corpus.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        tokenize_col(text_col).alias("toks"),
+    )
+    all_terms = sorted({t for _, ts in qs for t in ts})
+    aggs = [
+        F.count("*").cast("double").alias("_n"),
+        F.avg(F.size("toks").cast("double")).alias("_avgdl"),
+    ] + [
+        F.sum(F.array_contains("toks", t).cast("long")).alias(f"_df_{i}")
+        for i, t in enumerate(all_terms)
+    ]
+    stats = base.agg(*aggs)
+    tidx = {t: i for i, t in enumerate(all_terms)}
+    wstructs = []
+    for qid, terms in qs:
+        w: Column | None = None
+        for t in terms:  # occurrence-order left fold (see module docstring)
+            idf = bm25_idf(F.col(f"_df_{tidx[t]}"), F.col("_n"))
+            w = idf if w is None else w + idf
+        wstructs.append(
+            F.struct(F.lit(qid).alias("query_id"), w.alias("w"))
+        )
+    weights = stats.select(
+        F.col("_avgdl").alias("_avgdl_"), F.explode(F.array(*wstructs)).alias("s")
+    ).select(
+        F.col("s.query_id").alias("query_id"),
+        F.col("s.w").alias("w"),
+        F.col("_avgdl_").alias("avgdl"),
+    )
+    pf_structs = [
+        F.struct(
+            F.lit(qid).alias("query_id"),
+            phrase_freq_col(F.col("toks"), terms).alias("pf"),
+        )
+        for qid, terms in qs
+    ]
+    perdoc = (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode(F.array(*pf_structs)).alias("s"),
+        )
+        .select("doc_id", "dl", F.col("s.query_id").alias("query_id"),
+                F.col("s.pf").alias("pf"))
+        .where(F.col("pf") > 0)
+    )
+    return perdoc.join(F.broadcast(weights), "query_id").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("w")
+            * bm25_tf_norm(F.col("pf"), F.col("dl"), F.col("avgdl"))
+        ).alias("score"),
+    )
+
+
+def _conjunction_docs(
+    decoded: dict[str, tuple], terms: list[str]
+) -> np.ndarray:
+    """Sorted intersection of the terms' posting docID arrays (SURVEY §2.3).
+    Empty when any term is absent from the segment."""
+    uniq = sorted(set(terms))
+    if any(t not in decoded for t in uniq):
+        return np.empty(0, dtype=np.int64)
+    # Intersect smallest-first: each step's cost is bounded by the current
+    # (shrinking) candidate set.
+    arrs = sorted((decoded[t][0] for t in uniq), key=len)
+    cand = arrs[0]
+    for a in arrs[1:]:
+        if not len(cand):
+            break
+        cand = cand[np.isin(cand, a, assume_unique=True)]
+    return cand.astype(np.int64, copy=False)
+
+
+def search_phrase(
+    spark: SparkSession,
+    index: IndexHandle,
+    corpus: DataFrame,
+    queries: pd.DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index-served phrase scoring: (query_id, doc_id, score) — rank- and
+    score-identical to phrase_scores on the same corpus.
+
+    Phase 1 (index): per-segment conjunctive candidates via docID-sorted
+    posting intersection — reads ONLY the phrase terms' posting rows
+    (parquet term pushdown, same scan discipline as search()).
+    Phase 2 (verify): candidates broadcast-join the stored text; the exact
+    positional count runs on candidate rows only, and the weight reuses the
+    index's persisted df (same integers the declarative path aggregates).
+
+    Docs containing the phrase are a subset of docs containing all its
+    terms, so verification can only shrink phase 1's output — never miss.
+    """
+    qs = _compile_phrases(queries)
+    empty = spark.createDataFrame([], "query_id INT, doc_id LONG, score DOUBLE")
+    if not qs:
+        return empty
+    weights, _ks, terms = _query_weights(spark, index, queries)
+    if not terms:
+        return empty
+    # Only phrases whose EVERY term exists in the dict can match; their
+    # weight is the occurrence-order idf fold over the dict dfs.
+    n_docs = index.n_docs
+    live: dict[int, list[str]] = {}
+    wmap: dict[int, float] = {}
+    for qid, ts in qs:
+        if all(t in weights.get(qid, {}) for t in set(ts)):
+            live[qid] = ts
+            dfs = _dict_dfs(spark, index, sorted(set(ts)))
+            # occurrence-order left fold (see module docstring)
+            w = bm25_idf_py(dfs[ts[0]], n_docs)
+            for t in ts[1:]:
+                w += bm25_idf_py(dfs[t], n_docs)
+            wmap[qid] = w
+    if not live:
+        return empty
+
+    use_merged = index.merged_is_current()
+    base = index.merged_path if use_merged else index.segments_path
+    needed = sorted({t for ts in live.values() for t in ts})
+    postings = _filter_terms(spark, spark.read.parquet(base), needed)
+    postings = _segment_granularity(spark, postings, index, "seg_id")
+    bc_live = spark.sparkContext.broadcast(live)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = decode_segment_postings(pdf)
+        out_q, out_d = [], []
+        for qid, ts in bc_live.value.items():
+            cand = _conjunction_docs(decoded, ts)
+            if len(cand):
+                out_q.append(np.full(len(cand), qid, dtype=np.int32))
+                out_d.append(cand)
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int32),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q), "doc_id": np.concatenate(out_d)}
+        )
+
+    cands = postings.groupBy("seg_id").applyInPandas(
+        kernel, "query_id INT, doc_id LONG"
+    )
+
+    docs = corpus.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        tokenize_col(text_col).alias("toks"),
+    )
+    # Candidate side is conjunction-sized (<= min-df over each phrase's
+    # terms per query) — broadcast it so the corpus-side scan never
+    # shuffles (the vector rerank's candidate-join discipline).
+    joined = docs.join(F.broadcast(cands), "doc_id")
+    pf: Column = F.lit(0)
+    wcol: Column = F.lit(0.0)
+    for qid, ts in live.items():
+        cond = F.col("query_id") == qid
+        pf = F.when(cond, phrase_freq_col(F.col("toks"), ts)).otherwise(pf)
+        wcol = F.when(cond, F.lit(wmap[qid])).otherwise(wcol)
+    return (
+        joined.select(
+            "query_id",
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            pf.alias("pf"),
+            wcol.alias("w"),
+        )
+        .where(F.col("pf") > 0)
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("w")
+                * bm25_tf_norm(F.col("pf"), F.col("dl"), F.lit(index.avgdl))
+            ).alias("score"),
+        )
+    )
+
+
+_DICT_DF_CACHE: dict[tuple[str, tuple[str, ...]], dict[str, int]] = {}
+
+
+def _dict_dfs(
+    spark: SparkSession, index: IndexHandle, terms: list[str]
+) -> dict[str, int]:
+    key = (index.index_dir, tuple(terms))
+    if key not in _DICT_DF_CACHE:
+        rows = (
+            _filter_terms(spark, spark.read.parquet(index.dict_path), terms)
+            .select("term", "df")
+            .collect()
+        )
+        _DICT_DF_CACHE[key] = {r["term"]: int(r["df"]) for r in rows}
+    return _DICT_DF_CACHE[key]
+
+
+def msm_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    msm: dict[int, int],
+    stats: CorpusStats | None = None,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 scoring with a minimum_should_match cut: (query_id, doc_id,
+    score) for docs matching >= msm[query_id] DISTINCT query terms.
+
+    Identical plan shape to score_all (operators/score.py) — the match
+    count is one extra count on the SAME map-side-combined groupBy, and the
+    msm cut is a broadcast-joined filter on the aggregated (small) rows, so
+    the msm variant shuffles exactly the bytes the unfiltered query does.
+    """
+    spark = corpus.sparkSession
+    derived_postings = postings is None
+    if postings is None:
+        postings = postings_df(corpus)
+    if stats is None:
+        stats = corpus_stats(corpus)
+    persisted = None
+    if term_df is None:
+        if derived_postings:
+            postings = persisted = postings.persist()
+        term_df = postings.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+    qterms = query_terms_df(queries)
+    weighted = (
+        qterms.join(term_df, "term")
+        .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
+        .select("query_id", "term", (F.col("qtf") * F.col("idf")).alias("w"))
+    )
+    scored = postings.join(F.broadcast(weighted), "term").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("w") * bm25_tf_norm(F.col("tf"), F.col("dl"), stats.avgdl)
+        ).alias("contrib"),
+    )
+    agged = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("long").alias("n_matched"),
+    )
+    msm_df = spark.createDataFrame(
+        [(int(q), int(m)) for q, m in msm.items()], "query_id INT, _msm LONG"
+    )
+    out = (
+        agged.join(F.broadcast(msm_df), "query_id")
+        .where(F.col("n_matched") >= F.col("_msm"))
+        .select("query_id", "doc_id", "score")
+    )
+    if persisted is not None:
+        out._ojs_persisted = persisted
+    return out

@@ -188,6 +188,36 @@ def _filter_terms(spark: SparkSession, postings: DataFrame, terms) -> DataFrame:
     return postings.join(F.broadcast(terms_df), "term")
 
 
+def decode_segment_postings(pdf: pd.DataFrame) -> dict[str, tuple]:
+    """Decode one segment's (term-pruned) posting rows into
+    term -> (doc_ids sorted asc, tfs, dls). Each term decodes once (terms
+    are shared across the query batch); all-varint segments decode in ONE
+    vectorized pass over the concatenated blobs."""
+    decoded: dict[str, tuple] = {}
+    codecs = (
+        pdf["codec"].to_numpy()
+        if "codec" in pdf.columns
+        else np.ones(len(pdf), dtype=np.int64)
+    )
+    if (codecs == 1).all() and len(pdf):
+        from .codec import decode_postings_batch
+
+        lists = decode_postings_batch(
+            list(pdf["blob"]), pdf["df"].to_numpy(),
+            pdf["checksum"].to_numpy(),
+        )
+        for term, dec in zip(pdf["term"], lists):
+            decoded[term] = (dec.doc_ids, dec.tfs, dec.dls)
+    else:
+        for r in pdf.itertuples(index=False):
+            dec = decode_postings(
+                r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
+                int(r.checksum), codec=int(getattr(r, "codec", 1)),
+            )
+            decoded[r.term] = (dec.doc_ids, dec.tfs, dec.dls)
+    return decoded
+
+
 def search(
     spark: SparkSession,
     index: IndexHandle,
@@ -239,31 +269,8 @@ def search(
         w_all = bc_weights.value
         allowed = bc_allowed.value
         ks_map = bc_ks.value
-        # Decode each term once (terms are shared across queries). All-varint
-        # segments decode in ONE vectorized pass over the concatenated blobs.
-        decoded: dict[str, tuple] = {}
+        decoded = decode_segment_postings(pdf)
         meta: dict[str, tuple] = {}
-        codecs = (
-            pdf["codec"].to_numpy()
-            if "codec" in pdf.columns
-            else np.ones(len(pdf), dtype=np.int64)
-        )
-        if (codecs == 1).all() and len(pdf):
-            from .codec import decode_postings_batch
-
-            lists = decode_postings_batch(
-                list(pdf["blob"]), pdf["df"].to_numpy(),
-                pdf["checksum"].to_numpy(),
-            )
-            for term, dec in zip(pdf["term"], lists):
-                decoded[term] = (dec.doc_ids, dec.tfs, dec.dls)
-        else:
-            for r in pdf.itertuples(index=False):
-                dec = decode_postings(
-                    r.blob, int(r.df), int(r.tf_offset), int(r.dl_offset),
-                    int(r.checksum), codec=int(getattr(r, "codec", 1)),
-                )
-                decoded[r.term] = (dec.doc_ids, dec.tfs, dec.dls)
         for term, btf, bdl in zip(
             pdf["term"], pdf["block_max_tf"], pdf["block_min_dl"]
         ):

@@ -1,0 +1,222 @@
+"""Phrase + minimum_should_match query tests (operators/phrase.py):
+expression-vs-Python-twin agreement (incl. overlap and tokenizer fold
+chars), declarative-vs-indexed frame identity over a multi-segment index
+against a pure-Python oracle, msm semantics, and plan-shape assertions
+(candidate-broadcast verification join; the corpus is never shuffled)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_jvector_plugin_spark.functions.bm25 import (
+    bm25_idf_py,
+    bm25_tf_norm_py,
+)
+from opensearch_jvector_plugin_spark.functions.tokenizer import tokenize_text
+from opensearch_jvector_plugin_spark.operators.build import build_index
+from opensearch_jvector_plugin_spark.operators.phrase import (
+    msm_scores,
+    phrase_freq_col,
+    phrase_freq_py,
+    phrase_scores,
+    search_phrase,
+)
+from opensearch_jvector_plugin_spark.operators.query import load_index
+from opensearch_jvector_plugin_spark.operators.score import score_all
+
+# (text, phrase terms, expected pf)
+PF_CASES = [
+    ("a b a b a b", ["a", "b"], 3),
+    ("a a a a", ["a", "a"], 3),  # overlapping occurrences count
+    ("K b", ["k", "b"], 1),  # KELVIN SIGN folds to 'k'
+    ("İ x", ["i", "x"], 1),  # dotted capital I folds to 'i'
+    ("foo-bar, baz!", ["foo", "bar", "baz"], 1),  # punctuation separates
+    ("", ["a"], 0),
+    (None, ["a"], 0),
+    ("a", ["a"], 1),  # single-term phrase
+    ("b a", ["a", "b"], 0),  # order matters
+    ("x y", ["x", "y", "z"], 0),  # phrase longer than doc
+]
+
+
+def test_phrase_freq_col_matches_python_twin(spark):
+    rows = [(i, t) for i, (t, _terms, _e) in enumerate(PF_CASES)]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    from opensearch_jvector_plugin_spark.functions.tokenizer import tokenize_col
+
+    toks = F.col("toks")
+    base = df.select("id", tokenize_col("text").alias("toks"))
+    cols = [
+        phrase_freq_col(toks, terms).alias(f"pf_{i}")
+        for i, (_t, terms, _e) in enumerate(PF_CASES)
+    ]
+    got = {r["id"]: r for r in base.select("id", *cols).collect()}
+    for i, (text, terms, expect) in enumerate(PF_CASES):
+        assert got[i][f"pf_{i}"] == expect, (text, terms)
+        assert phrase_freq_py(tokenize_text(text or ""), terms) == expect
+
+
+PHRASES = [
+    (0, "term0001 term0002", 10),
+    (1, "hotcommon hotfive", 10),  # planted adjacent suffix on i%15==0 docs
+    (2, "term0003 term0003", 10),  # repeated-term phrase
+    (3, "raretermaaa raretermbbb", 10),  # terms exist, never adjacent
+    (4, "zzzoov term0001", 10),  # OOV term -> empty
+    (5, "term0002", 5),  # single-term phrase == that term's BM25
+]
+
+
+def _python_phrase_oracle(pdf: pd.DataFrame, phrases) -> pd.DataFrame:
+    toks = [tokenize_text(t) for t in pdf["text"]]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    out = []
+    for qid, text, _k in phrases:
+        terms = tokenize_text(text)
+        if not terms:
+            continue
+        # occurrence-order idf left fold over per-term doc frequencies
+        dfs = {
+            t: sum(1 for tk in toks if t in tk) for t in set(terms)
+        }
+        w = bm25_idf_py(dfs[terms[0]], n)
+        for t in terms[1:]:
+            w += bm25_idf_py(dfs[t], n)
+        for doc_id, tk in zip(pdf["doc_id"], toks):
+            pf = phrase_freq_py(tk, terms)
+            if pf > 0:
+                out.append(
+                    (qid, int(doc_id), w * bm25_tf_norm_py(pf, len(tk), avgdl))
+                )
+    return pd.DataFrame(out, columns=["query_id", "doc_id", "score"])
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["score"] = pdf["score"].round(6)
+    pdf["query_id"] = pdf["query_id"].astype(np.int64)
+    pdf["doc_id"] = pdf["doc_id"].astype(np.int64)
+    return (
+        pdf[["query_id", "doc_id", "score"]]
+        .sort_values(["query_id", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, tiny_corpus_pdf, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("phr") / "idx")
+    corpus = spark.createDataFrame(tiny_corpus_pdf).repartition(4)
+    build_index(corpus, idx_dir, seg_size=20)  # 5 segments
+    return idx_dir
+
+
+def test_phrase_declarative_matches_python_oracle(spark, tiny_corpus_pdf):
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    qpdf = pd.DataFrame(PHRASES, columns=["query_id", "query_text", "k"])
+    got = _norm(phrase_scores(corpus, qpdf).toPandas())
+    want = _norm(_python_phrase_oracle(tiny_corpus_pdf, PHRASES))
+    assert want["query_id"].nunique() >= 3  # fixture really exercises matches
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_phrase_indexed_matches_declarative(spark, tiny_corpus_pdf, phrase_index):
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    qpdf = pd.DataFrame(PHRASES, columns=["query_id", "query_text", "k"])
+    index = load_index(phrase_index)
+    declarative = _norm(phrase_scores(corpus, qpdf).toPandas())
+    served = search_phrase(spark, index, corpus, qpdf)
+    got = _norm(served.toPandas())
+    pd.testing.assert_frame_equal(got, declarative)
+
+
+def test_phrase_indexed_plan_broadcasts_candidates(
+    spark, tiny_corpus_pdf, phrase_index
+):
+    """The verification join must broadcast the conjunction-sized candidate
+    set; the corpus side is scanned once and NEVER hash-exchanged on
+    doc_id (the vector rerank's candidate-join discipline)."""
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    qpdf = pd.DataFrame(PHRASES, columns=["query_id", "query_text", "k"])
+    served = search_phrase(spark, load_index(phrase_index), corpus, qpdf)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" not in line, line
+
+
+def test_phrase_declarative_plan_no_corpus_shuffle(spark, tiny_corpus_pdf):
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    qpdf = pd.DataFrame(PHRASES, columns=["query_id", "query_text", "k"])
+    plan = (
+        phrase_scores(corpus, qpdf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Only the 1-row stats aggregate exchanges (SinglePartition); per-doc
+    # phrase counting is a pure projection joined to a broadcast.
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+MSM_Q = [
+    (0, "term0001 term0002 term0003", 10),
+    (1, "term0004 term0004 term0005", 10),  # duplicate collapses to 2 distinct
+    (2, "raretermaaa term0001", 10),
+]
+
+
+def _msm_python(pdf: pd.DataFrame, queries, msm) -> set[tuple[int, int]]:
+    toks = [set(tokenize_text(t)) for t in pdf["text"]]
+    keep = set()
+    for qid, text, _k in queries:
+        terms = set(tokenize_text(text))
+        need = msm[qid]
+        for doc_id, tk in zip(pdf["doc_id"], toks):
+            if len(terms & tk) >= need:
+                keep.add((qid, int(doc_id)))
+    return keep
+
+
+def test_msm_one_equals_plain_scoring(spark, tiny_corpus_pdf):
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    queries = spark.createDataFrame(
+        MSM_Q, "query_id INT, query_text STRING, k LONG"
+    )
+    plain = _norm(score_all(corpus, queries).toPandas())
+    eased = _norm(
+        msm_scores(corpus, queries, {q: 1 for q, _t, _k in MSM_Q}).toPandas()
+    )
+    pd.testing.assert_frame_equal(eased, plain)
+
+
+def test_msm_filters_to_python_set_and_keeps_scores(spark, tiny_corpus_pdf):
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    queries = spark.createDataFrame(
+        MSM_Q, "query_id INT, query_text STRING, k LONG"
+    )
+    msm = {0: 3, 1: 2, 2: 2}
+    got = _norm(msm_scores(corpus, queries, msm).toPandas())
+    want_keys = _msm_python(tiny_corpus_pdf, MSM_Q, msm)
+    assert set(zip(got["query_id"], got["doc_id"])) == want_keys
+    assert len(want_keys) > 0
+    # Scores are the UNCHANGED full BM25 scores (the cut never rescores).
+    plain = _norm(score_all(corpus, queries).toPandas())
+    merged = got.merge(
+        plain, on=["query_id", "doc_id"], suffixes=("", "_plain")
+    )
+    assert (merged["score"] == merged["score_plain"]).all()
+
+
+def test_msm_above_distinct_count_is_empty(spark, tiny_corpus_pdf):
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    queries = spark.createDataFrame(
+        [(1, "term0004 term0004 term0005", 10)],
+        "query_id INT, query_text STRING, k LONG",
+    )
+    # 2 distinct terms; msm=3 can never be satisfied.
+    assert msm_scores(corpus, queries, {1: 3}).count() == 0
