@@ -272,6 +272,23 @@ def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+HL_WINDOW = 3
+
+
+def q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-phase highlighting: for every bm25_topk hit, the 1-based token
+    position of the first query-term occurrence and the +-HL_WINDOW-token
+    snippet around it (operators/expand.py highlight_hits — hit-broadcast,
+    corpus scanned once, positions searched on hit rows only)."""
+    from .operators.expand import highlight_hits
+    from .operators.score import query_terms_df
+
+    docs = _docs(spark, sf_dir)
+    topk = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    qt = query_terms_df(_queries_df(spark))
+    return highlight_hits(topk, docs, qt, window=HL_WINDOW)
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = term_stats(postings_df(_docs(spark, sf_dir)))
     return (
@@ -990,6 +1007,38 @@ WHERE m.rank <= q.k
 SQL_BM25_MSM = _msm_sql()
 
 
+def _highlight_sql() -> str:
+    w = HL_WINDOW
+    return (
+        "WITH "
+        + _bm25_ctes()
+        + f""",
+hits AS (
+  SELECT r.query_id, r.rank, r.doc_id
+  FROM ranked r JOIN q ON r.query_id = q.query_id
+  WHERE r.rank <= q.k
+),
+hpos AS (
+  SELECT h.query_id, h.rank, h.doc_id,
+         min(nullif(list_position(c.toks, qt.term), 0))::BIGINT AS first_pos
+  FROM hits h
+  JOIN corpus c ON h.doc_id = c.doc_id
+  JOIN qt ON qt.query_id = h.query_id
+  GROUP BY h.query_id, h.rank, h.doc_id
+)
+SELECT p.query_id, p.rank::INT AS rank, p.doc_id, p.first_pos,
+       array_to_string(
+         list_slice(c.toks,
+                    greatest(p.first_pos - {w}, 1),
+                    least(p.first_pos + {w}, len(c.toks))), ' ') AS snippet
+FROM hpos p JOIN corpus c ON p.doc_id = c.doc_id
+"""
+    )
+
+
+SQL_BM25_HIGHLIGHT = _highlight_sql()
+
+
 def _maxdistance_sql() -> str:
     thr = repr(1.0 / (1.0 + MAXDIST))
     ctes = _bm25_ctes(queries=[(q, t, 1) for q, t in MAXDIST_QUERIES])
@@ -1689,6 +1738,7 @@ QUERIES = {
     "bm25_phrase": q_bm25_phrase,
     "bm25_phrase_indexed": q_bm25_phrase_indexed,
     "bm25_msm": q_bm25_msm,
+    "bm25_highlight": q_bm25_highlight,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "postings_sample": q_postings_sample,
@@ -1736,6 +1786,7 @@ ORACLES = {
     # fold) — it shares the phrase oracle.
     "bm25_phrase_indexed": SQL_BM25_PHRASE,
     "bm25_msm": SQL_BM25_MSM,
+    "bm25_highlight": SQL_BM25_HIGHLIGHT,
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "postings_sample": SQL_POSTINGS_SAMPLE,

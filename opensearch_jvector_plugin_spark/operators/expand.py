@@ -37,3 +37,64 @@ def expand_hits_to_conversations(
         .distinct()
     )
     return corpus.join(F.broadcast(hit_convs), "conv_id", "left_semi")
+
+
+def highlight_hits(
+    hits: DataFrame,
+    corpus: DataFrame,
+    qterms: DataFrame,
+    window: int = 3,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snippet extraction for search hits — the highlight phase analog.
+
+    The reference returns stored fields alongside scores
+    (KNN80DocValuesConsumer rides doc values through the codec) and leaves
+    highlighting to OpenSearch's fetch phase, which re-analyzes the stored
+    text of the HITS only. Same discipline here: the corpus scan
+    broadcast-joins the (small) hit set first, so tokenization and position
+    search run on |hits| rows, never the corpus.
+
+    hits:   (query_id, rank, doc_id) — e.g. a ranked top-k output
+    qterms: (query_id, term) — the per-query term table
+    Returns (query_id, rank, doc_id, first_pos, snippet): `first_pos` is
+    the 1-based token position of the first occurrence of ANY query term
+    (min over terms; every scored hit contains at least one), `snippet`
+    the space-joined tokens within `window` positions of it.
+    """
+    from ..functions.tokenizer import tokenize_col
+
+    toksed = corpus.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        tokenize_col(text_col).alias("toks"),
+    )
+    hit_terms = hits.select("query_id", "rank", "doc_id").join(
+        qterms.select("query_id", "term"), "query_id"
+    )
+    cand = toksed.join(F.broadcast(hit_terms), "doc_id")
+    pos = cand.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "toks",
+        F.array_position("toks", F.col("term")).alias("p"),
+    )
+    agged = pos.groupBy("query_id", "rank", "doc_id").agg(
+        F.min(F.when(F.col("p") > 0, F.col("p"))).cast("long").alias(
+            "first_pos"
+        ),
+        # All rows in a (query, doc) group carry the SAME doc's tokens.
+        F.first("toks").alias("toks"),
+    )
+    start = F.greatest(F.col("first_pos") - F.lit(window), F.lit(1))
+    end = F.least(F.col("first_pos") + F.lit(window), F.size("toks"))
+    return agged.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "first_pos",
+        F.concat_ws(
+            " ", F.slice("toks", start, end - start + F.lit(1))
+        ).alias("snippet"),
+    )
