@@ -272,6 +272,32 @@ def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+# Fuzzy query set: single-edit typos of vocab terms, an exact term mixed
+# with a typo, an unexpandable garbage term (empty), a duplicated typo
+# (qtf=2). max_edits = operators/fuzzy.MAX_EDITS = 1.
+FUZZY_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spak", 10),
+    (1, "window merge", 10),
+    (2, "dta", 10),
+    (3, "qqqqq", 10),
+    (4, "spak spak", 10),
+]
+
+
+def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery analog: query terms expand to dict terms within edit
+    distance 1, down-weighted by 1 - ed/max(len) (operators/fuzzy.py)."""
+    from .operators.fuzzy import fuzzy_scores
+
+    queries = spark.createDataFrame(
+        FUZZY_QUERIES, "query_id INT, query_text STRING, k LONG"
+    )
+    scored = fuzzy_scores(_docs(spark, sf_dir), queries)
+    ks = queries.select("query_id", F.col("k").alias("_k"))
+    out = _rank_rounded(scored, ks)
+    return out
+
+
 HL_WINDOW = 3
 
 
@@ -1039,6 +1065,49 @@ FROM hpos p JOIN corpus c ON p.doc_id = c.doc_id
 SQL_BM25_HIGHLIGHT = _highlight_sql()
 
 
+def _fuzzy_sql() -> str:
+    from .operators.fuzzy import MAX_EDITS
+
+    tf_norm = bm25_tf_norm_sql("tf.tf", "doclen.dl", "s.avgdl")
+    return (
+        "WITH "
+        + _bm25_ctes(queries=FUZZY_QUERIES)
+        + f""",
+expanded AS (
+  SELECT qt.query_id, d.term,
+         qt.qtf
+         * (1.0 - levenshtein(qt.term, d.term)::DOUBLE
+              / greatest(len(qt.term), len(d.term))::DOUBLE)
+         * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM qt JOIN dfreq d ON levenshtein(qt.term, d.term) <= {MAX_EDITS}
+  CROSS JOIN stats s
+),
+fscored AS (
+  SELECT e.query_id, tf.doc_id, sum(e.w * {tf_norm}) AS score
+  FROM expanded e
+  JOIN tf USING (term)
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, tf.doc_id
+),
+franked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM fscored
+)
+SELECT f.query_id, f.rank::INT AS rank, f.doc_id, f.score
+FROM franked f JOIN q ON f.query_id = q.query_id
+WHERE f.rank <= q.k
+"""
+    )
+
+
+SQL_BM25_FUZZY = _fuzzy_sql()
+
+
 def _maxdistance_sql() -> str:
     thr = repr(1.0 / (1.0 + MAXDIST))
     ctes = _bm25_ctes(queries=[(q, t, 1) for q, t in MAXDIST_QUERIES])
@@ -1739,6 +1808,7 @@ QUERIES = {
     "bm25_phrase_indexed": q_bm25_phrase_indexed,
     "bm25_msm": q_bm25_msm,
     "bm25_highlight": q_bm25_highlight,
+    "bm25_fuzzy": q_bm25_fuzzy,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "postings_sample": q_postings_sample,
@@ -1787,6 +1857,7 @@ ORACLES = {
     "bm25_phrase_indexed": SQL_BM25_PHRASE,
     "bm25_msm": SQL_BM25_MSM,
     "bm25_highlight": SQL_BM25_HIGHLIGHT,
+    "bm25_fuzzy": SQL_BM25_FUZZY,
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "postings_sample": SQL_POSTINGS_SAMPLE,

@@ -1,0 +1,70 @@
+"""Fuzzy term-expansion queries (operators/fuzzy.py): expansion set and
+boosts, degenerate-to-exact behavior for isolated terms, empty expansion."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_jvector_plugin_spark.operators.fuzzy import (
+    fuzzy_expand,
+    fuzzy_scores,
+)
+from opensearch_jvector_plugin_spark.operators.score import (
+    query_terms_df,
+    score_all,
+)
+from opensearch_jvector_plugin_spark.plans.stats import postings_df
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["score"] = pdf["score"].round(6)
+    return (
+        pdf[["query_id", "doc_id", "score"]]
+        .astype({"query_id": np.int64, "doc_id": np.int64})
+        .sort_values(["query_id", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_fuzzy_expand_neighbors_and_boosts(spark, tiny_corpus_pdf):
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    postings = postings_df(corpus)
+    term_df = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    queries = spark.createDataFrame(
+        [(0, "term0001", 10)], "query_id INT, query_text STRING, k LONG"
+    )
+    exp = fuzzy_expand(query_terms_df(queries), term_df, 100.0).toPandas()
+    terms = set(exp["term"])
+    assert "term0001" in terms  # distance 0: itself
+    # Single-digit substitutions of a dense vocab are distance-1 neighbors.
+    assert len(terms) > 1
+    for t in terms:
+        assert sum(a != b for a, b in zip(t.ljust(8), "term0001")) <= 1 or (
+            len(t) != 8
+        )
+
+
+def test_fuzzy_isolated_term_equals_plain_bm25(spark, tiny_corpus_pdf):
+    """'hotcommon' has no distance-1 dictionary neighbor, so the fuzzy
+    contract (boost 1.0 at distance 0) degenerates to exact BM25."""
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    queries = spark.createDataFrame(
+        [(0, "hotcommon", 10)], "query_id INT, query_text STRING, k LONG"
+    )
+    fuzzy = _norm(fuzzy_scores(corpus, queries).toPandas())
+    plain = _norm(score_all(corpus, queries).toPandas())
+    pd.testing.assert_frame_equal(fuzzy, plain)
+
+
+def test_fuzzy_garbage_term_expands_to_nothing(spark, tiny_corpus_pdf):
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    queries = spark.createDataFrame(
+        [(0, "zzzzzzzzzzzz", 10)], "query_id INT, query_text STRING, k LONG"
+    )
+    assert fuzzy_scores(corpus, queries).count() == 0
