@@ -298,6 +298,32 @@ def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Prefix query set: a one-letter prefix (wide expansion), an exact-length
+# prefix (single term), an unmatched prefix (empty), a term that is only
+# its own prefix (degenerates to exact BM25), a multi-prefix query.
+PREFIX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "s", 10),
+    (1, "wind", 10),
+    (2, "qqq", 10),
+    (3, "data", 10),
+    (4, "c val", 10),
+]
+
+
+def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery analog under the scoring-boolean rewrite: each query
+    term expands to every dict term it prefixes, weighted qtf * idf
+    (operators/fuzzy.py prefix_expand)."""
+    from .operators.fuzzy import prefix_scores
+
+    queries = spark.createDataFrame(
+        PREFIX_QUERIES, "query_id INT, query_text STRING, k LONG"
+    )
+    scored = prefix_scores(_docs(spark, sf_dir), queries)
+    ks = queries.select("query_id", F.col("k").alias("_k"))
+    return _rank_rounded(scored, ks)
+
+
 HL_WINDOW = 3
 
 
@@ -1108,6 +1134,44 @@ WHERE f.rank <= q.k
 SQL_BM25_FUZZY = _fuzzy_sql()
 
 
+def _prefix_sql() -> str:
+    tf_norm = bm25_tf_norm_sql("tf.tf", "doclen.dl", "s.avgdl")
+    return (
+        "WITH "
+        + _bm25_ctes(queries=PREFIX_QUERIES)
+        + f""",
+expanded AS (
+  SELECT qt.query_id, d.term,
+         qt.qtf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM qt JOIN dfreq d ON starts_with(d.term, qt.term)
+  CROSS JOIN stats s
+),
+fscored AS (
+  SELECT e.query_id, tf.doc_id, sum(e.w * {tf_norm}) AS score
+  FROM expanded e
+  JOIN tf USING (term)
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, tf.doc_id
+),
+franked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM fscored
+)
+SELECT f.query_id, f.rank::INT AS rank, f.doc_id, f.score
+FROM franked f JOIN q ON f.query_id = q.query_id
+WHERE f.rank <= q.k
+"""
+    )
+
+
+SQL_BM25_PREFIX = _prefix_sql()
+
+
 def _maxdistance_sql() -> str:
     thr = repr(1.0 / (1.0 + MAXDIST))
     ctes = _bm25_ctes(queries=[(q, t, 1) for q, t in MAXDIST_QUERIES])
@@ -1809,6 +1873,7 @@ QUERIES = {
     "bm25_msm": q_bm25_msm,
     "bm25_highlight": q_bm25_highlight,
     "bm25_fuzzy": q_bm25_fuzzy,
+    "bm25_prefix": q_bm25_prefix,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "postings_sample": q_postings_sample,
@@ -1858,6 +1923,7 @@ ORACLES = {
     "bm25_msm": SQL_BM25_MSM,
     "bm25_highlight": SQL_BM25_HIGHLIGHT,
     "bm25_fuzzy": SQL_BM25_FUZZY,
+    "bm25_prefix": SQL_BM25_PREFIX,
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "postings_sample": SQL_POSTINGS_SAMPLE,

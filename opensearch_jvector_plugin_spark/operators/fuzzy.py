@@ -1,4 +1,4 @@
-"""Fuzzy (edit-distance) term-expansion queries — the FuzzyQuery analog.
+"""Term-expansion queries: fuzzy (FuzzyQuery) and prefix (PrefixQuery).
 
 Lucene's FuzzyQuery expands a query term to every dictionary term within
 maxEdits via a Levenshtein automaton over the term FST and down-weights
@@ -63,15 +63,35 @@ def fuzzy_expand(
     )
 
 
-def fuzzy_scores(
-    corpus: DataFrame,
-    queries: DataFrame,
-    max_edits: int = MAX_EDITS,
-    stats: CorpusStats | None = None,
+def prefix_expand(
+    qterms: DataFrame, term_df: DataFrame, n_docs: float
 ) -> DataFrame:
-    """(query_id, doc_id, score) under the fuzzy-expansion contract above.
-    Identical plan shape to score_all after expansion: expanded weights
-    broadcast into the postings scan, one map-side-combined groupBy."""
+    """PrefixQuery expansion: (query_id, term, w) for every dict term
+    starting with a query term, weighted qtf * idf (the SCORING_BOOLEAN
+    rewrite — Lucene's default constant-score rewrite is a filter, the
+    scoring rewrite is the variant with a rank contract to oracle-check).
+    Same dict-scan shape as fuzzy_expand; a term-range parquet filter
+    (term >= p AND term < p+'\\uffff') would prune the dict scan further at
+    100 TB — startswith keeps the three implementations trivially aligned."""
+    q = qterms.select("query_id", F.col("term").alias("qterm"), "qtf")
+    return (
+        term_df.join(
+            F.broadcast(q), F.col("term").startswith(F.col("qterm"))
+        )
+        .select(
+            "query_id",
+            "term",
+            (F.col("qtf") * bm25_idf(F.col("df"), float(n_docs))).alias("w"),
+        )
+    )
+
+
+def _expanded_scores(
+    corpus: DataFrame, queries: DataFrame, expand_fn, stats: CorpusStats | None
+) -> DataFrame:
+    """Shared scoring tail for term-expansion queries: expanded weights
+    broadcast into the postings scan, one map-side-combined groupBy —
+    identical plan shape to score_all after expansion."""
     postings = postings_df(corpus).persist()
     try:
         if stats is None:
@@ -79,9 +99,7 @@ def fuzzy_scores(
         term_df = postings.groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         )
-        weighted = fuzzy_expand(
-            query_terms_df(queries), term_df, stats.n_docs, max_edits
-        )
+        weighted = expand_fn(query_terms_df(queries), term_df, stats.n_docs)
         scored = postings.join(F.broadcast(weighted), "term").select(
             "query_id",
             "doc_id",
@@ -98,3 +116,26 @@ def fuzzy_scores(
     except Exception:
         postings.unpersist()
         raise
+
+
+def prefix_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) under the prefix-expansion contract."""
+    return _expanded_scores(corpus, queries, prefix_expand, stats)
+
+
+def fuzzy_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    max_edits: int = MAX_EDITS,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) under the fuzzy-expansion contract above."""
+
+    def expand(qt, td, n):
+        return fuzzy_expand(qt, td, n, max_edits)
+
+    return _expanded_scores(corpus, queries, expand, stats)

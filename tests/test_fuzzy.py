@@ -62,6 +62,43 @@ def test_fuzzy_isolated_term_equals_plain_bm25(spark, tiny_corpus_pdf):
     pd.testing.assert_frame_equal(fuzzy, plain)
 
 
+def test_prefix_exact_length_equals_plain_bm25(spark, tiny_corpus_pdf):
+    """'hotcommon' is the only dict term it prefixes, so the prefix query
+    degenerates to exact BM25 (w = qtf * idf, no boost in the contract)."""
+    from opensearch_jvector_plugin_spark.operators.fuzzy import prefix_scores
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    queries = spark.createDataFrame(
+        [(0, "hotcommon", 10)], "query_id INT, query_text STRING, k LONG"
+    )
+    pref = _norm(prefix_scores(corpus, queries).toPandas())
+    plain = _norm(score_all(corpus, queries).toPandas())
+    pd.testing.assert_frame_equal(pref, plain)
+
+
+def test_prefix_wide_expansion_matches_python(spark, tiny_corpus_pdf):
+    """Prefix 'hot' expands to both planted hot terms; every doc containing
+    either must be scored."""
+    from opensearch_jvector_plugin_spark.operators.fuzzy import prefix_scores
+    from opensearch_jvector_plugin_spark.functions.tokenizer import (
+        tokenize_text,
+    )
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    queries = spark.createDataFrame(
+        [(0, "hot", 10)], "query_id INT, query_text STRING, k LONG"
+    )
+    got = set(
+        prefix_scores(corpus, queries).toPandas()["doc_id"].astype(int)
+    )
+    want = {
+        int(d)
+        for d, t in zip(tiny_corpus_pdf["doc_id"], tiny_corpus_pdf["text"])
+        if any(tok.startswith("hot") for tok in tokenize_text(t))
+    }
+    assert got == want and len(want) > 0
+
+
 def test_fuzzy_garbage_term_expands_to_nothing(spark, tiny_corpus_pdf):
     corpus = spark.createDataFrame(tiny_corpus_pdf)
     queries = spark.createDataFrame(
