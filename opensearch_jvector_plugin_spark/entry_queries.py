@@ -298,6 +298,33 @@ def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Boolean query set: (query_id, must, should, must_not, k) — must+boost,
+# pure conjunction, should-only with exclusion, self-cancelling
+# must/must_not (empty), OOV must term (empty).
+BOOL_QUERIES: list[tuple[int, str, str, str, int]] = [
+    (0, "data", "spark join", "", 10),
+    (1, "customer vector", "", "", 10),
+    (2, "", "window merge", "batch", 10),
+    (3, "data", "", "data", 10),
+    (4, "zzznotaword", "spark", "", 10),
+]
+
+
+def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanQuery must/should/must_not composition
+    (operators/phrase.boolean_scores)."""
+    from .operators.phrase import boolean_scores
+
+    bq = spark.createDataFrame(
+        BOOL_QUERIES,
+        "query_id INT, must_text STRING, should_text STRING,"
+        " must_not_text STRING, k LONG",
+    )
+    scored = boolean_scores(_docs(spark, sf_dir), bq)
+    ks = bq.select("query_id", F.col("k").alias("_k"))
+    return _rank_rounded(scored, ks)
+
+
 # Prefix query set: a one-letter prefix (wide expansion), an exact-length
 # prefix (single term), an unmatched prefix (empty), a term that is only
 # its own prefix (degenerates to exact BM25), a multi-prefix query.
@@ -1172,6 +1199,79 @@ WHERE f.rank <= q.k
 SQL_BM25_PREFIX = _prefix_sql()
 
 
+def _boolean_sql() -> str:
+    # Scoring prelude: must+should occurrences pooled as the query text.
+    ctes = _bm25_ctes(
+        queries=[
+            (q, f"{m} {s}".strip(), k) for q, m, s, _n, k in BOOL_QUERIES
+        ]
+    )
+    must_rows = sorted(
+        {
+            (q, t)
+            for q, m, _s, _n, _k in BOOL_QUERIES
+            for t in tokenize_text(m)
+        }
+    )
+    mnot_rows = sorted(
+        {
+            (q, t)
+            for q, _m, _s, n, _k in BOOL_QUERIES
+            for t in tokenize_text(n)
+        }
+    )
+    # The fixture guarantees both clause tables are non-empty (VALUES
+    # cannot be empty); assert so a fixture edit fails loudly here.
+    assert must_rows and mnot_rows
+    must_vals = ", ".join(f"({q}, '{t}')" for q, t in must_rows)
+    mnot_vals = ", ".join(f"({q}, '{t}')" for q, t in mnot_rows)
+    return (
+        "WITH "
+        + ctes
+        + f""",
+must(query_id, term) AS (VALUES {must_vals}),
+mneed AS (
+  SELECT query_id, count(*)::BIGINT AS n_must FROM must GROUP BY query_id
+),
+mmatch AS (
+  SELECT m.query_id, tf.doc_id, count(*)::BIGINT AS n
+  FROM must m JOIN tf USING (term)
+  GROUP BY m.query_id, tf.doc_id
+),
+mnot(query_id, term) AS (VALUES {mnot_vals}),
+excl AS (
+  SELECT DISTINCT n.query_id, tf.doc_id FROM mnot n JOIN tf USING (term)
+),
+gated AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s
+  LEFT JOIN mneed ON s.query_id = mneed.query_id
+  LEFT JOIN mmatch
+    ON s.query_id = mmatch.query_id AND s.doc_id = mmatch.doc_id
+  WHERE coalesce(mmatch.n, 0) >= coalesce(mneed.n_must, 0)
+    AND NOT EXISTS (
+      SELECT 1 FROM excl e
+      WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id
+    )
+),
+granked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM gated
+)
+SELECT g.query_id, g.rank::INT AS rank, g.doc_id, g.score
+FROM granked g JOIN q ON g.query_id = q.query_id
+WHERE g.rank <= q.k
+"""
+    )
+
+
+SQL_BM25_BOOLEAN = _boolean_sql()
+
+
 def _maxdistance_sql() -> str:
     thr = repr(1.0 / (1.0 + MAXDIST))
     ctes = _bm25_ctes(queries=[(q, t, 1) for q, t in MAXDIST_QUERIES])
@@ -1874,6 +1974,7 @@ QUERIES = {
     "bm25_highlight": q_bm25_highlight,
     "bm25_fuzzy": q_bm25_fuzzy,
     "bm25_prefix": q_bm25_prefix,
+    "bm25_boolean": q_bm25_boolean,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "postings_sample": q_postings_sample,
@@ -1924,6 +2025,7 @@ ORACLES = {
     "bm25_highlight": SQL_BM25_HIGHLIGHT,
     "bm25_fuzzy": SQL_BM25_FUZZY,
     "bm25_prefix": SQL_BM25_PREFIX,
+    "bm25_boolean": SQL_BM25_BOOLEAN,
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "postings_sample": SQL_POSTINGS_SAMPLE,

@@ -324,6 +324,109 @@ def _dict_dfs(
     return _DICT_DF_CACHE[key]
 
 
+def boolean_scores(
+    corpus: DataFrame,
+    bool_queries: DataFrame,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """Full BooleanQuery composition — must / should / must_not clauses
+    (Lucene BooleanClause.Occur; the reference's `filter` clause wraps
+    exactly these): (query_id, doc_id, score) where
+
+      - the doc matches EVERY distinct `must` term,
+      - the doc matches NO `must_not` term,
+      - score = the standard BM25 sum over the doc's matched must+should
+        term occurrences (must terms score too, Lucene MUST not FILTER;
+        must_not contributes nothing).
+
+    bool_queries: (query_id, must_text, should_text, must_not_text, k) —
+    any clause text may be empty.
+
+    Plan: ONE postings derivation feeds scoring, the must-count check and
+    the must_not exclusion; the three clause tables are broadcasts, the
+    must gate is one conditional count on the scoring groupBy (the msm
+    machinery with per-query n_must), and must_not is a broadcast-built
+    exclusion set applied left_anti — no corpus-keyed shuffle beyond the
+    scoring aggregation itself.
+    """
+    spark = corpus.sparkSession
+    postings = postings_df(corpus).persist()
+    try:
+        if stats is None:
+            stats = corpus_stats(corpus)
+        term_df = postings.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        # Scoring terms: must + should occurrences pooled into one qtf table.
+        scoring_q = bool_queries.select(
+            "query_id",
+            F.concat_ws(
+                " ",
+                F.coalesce("must_text", F.lit("")),
+                F.coalesce("should_text", F.lit("")),
+            ).alias("query_text"),
+        )
+        qterms = query_terms_df(scoring_q)
+        weighted = (
+            qterms.join(term_df, "term")
+            .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
+            .select(
+                "query_id", "term", (F.col("qtf") * F.col("idf")).alias("w")
+            )
+        )
+        must = query_terms_df(
+            bool_queries.select(
+                "query_id", F.col("must_text").alias("query_text")
+            )
+        ).select("query_id", "term")
+        n_must = must.groupBy("query_id").agg(
+            F.count("*").cast("long").alias("_n_must")
+        )
+        must_flag = must.withColumn("_is_must", F.lit(1).cast("long"))
+        scored = (
+            postings.join(F.broadcast(weighted), "term")
+            .join(F.broadcast(must_flag), ["query_id", "term"], "left")
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    F.col("w")
+                    * bm25_tf_norm(F.col("tf"), F.col("dl"), stats.avgdl)
+                ).alias("contrib"),
+                F.coalesce("_is_must", F.lit(0)).alias("_is_must"),
+            )
+        )
+        agged = scored.groupBy("query_id", "doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.sum("_is_must").alias("_must_matched"),
+        )
+        # Queries with no must clause pass the gate with _n_must null -> 0.
+        gated = (
+            agged.join(F.broadcast(n_must), "query_id", "left")
+            .where(
+                F.col("_must_matched")
+                >= F.coalesce("_n_must", F.lit(0).cast("long"))
+            )
+            .select("query_id", "doc_id", "score")
+        )
+        must_not = query_terms_df(
+            bool_queries.select(
+                "query_id", F.col("must_not_text").alias("query_text")
+            )
+        ).select("query_id", "term")
+        excluded = (
+            postings.join(F.broadcast(must_not), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        out = gated.join(excluded, ["query_id", "doc_id"], "left_anti")
+        out._ojs_persisted = postings
+        return out
+    except Exception:
+        postings.unpersist()
+        raise
+
+
 def msm_scores(
     corpus: DataFrame,
     queries: DataFrame,

@@ -212,6 +212,90 @@ def test_msm_filters_to_python_set_and_keeps_scores(spark, tiny_corpus_pdf):
     assert (merged["score"] == merged["score_plain"]).all()
 
 
+def _bool_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "query_id INT, must_text STRING, should_text STRING,"
+        " must_not_text STRING, k LONG",
+    )
+
+
+def test_boolean_should_only_equals_plain_scoring(spark, tiny_corpus_pdf):
+    from opensearch_jvector_plugin_spark.operators.phrase import boolean_scores
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    text = "term0001 term0002 term0003"
+    got = _norm(
+        boolean_scores(
+            corpus, _bool_df(spark, [(0, "", text, "", 10)])
+        ).toPandas()
+    )
+    plain = _norm(
+        score_all(
+            corpus,
+            spark.createDataFrame(
+                [(0, text, 10)], "query_id INT, query_text STRING, k LONG"
+            ),
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, plain)
+
+
+def test_boolean_pure_must_equals_full_msm(spark, tiny_corpus_pdf):
+    """must-only boolean == msm with msm = #distinct terms (and must terms
+    DO score, Lucene MUST not FILTER)."""
+    from opensearch_jvector_plugin_spark.operators.phrase import boolean_scores
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    text = "term0001 term0002"
+    got = _norm(
+        boolean_scores(
+            corpus, _bool_df(spark, [(0, text, "", "", 10)])
+        ).toPandas()
+    )
+    want = _norm(
+        msm_scores(
+            corpus,
+            spark.createDataFrame(
+                [(0, text, 10)], "query_id INT, query_text STRING, k LONG"
+            ),
+            {0: 2},
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_boolean_must_not_excludes_and_oov_must_empties(spark, tiny_corpus_pdf):
+    from opensearch_jvector_plugin_spark.operators.phrase import boolean_scores
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    out = boolean_scores(
+        corpus,
+        _bool_df(
+            spark,
+            [
+                (0, "", "term0001", "term0002", 10),
+                (1, "zzznope term0001", "", "", 10),  # OOV must -> empty
+            ],
+        ),
+    ).toPandas()
+    assert 1 not in set(out["query_id"])
+    kept = set(out[out["query_id"] == 0]["doc_id"].astype(int))
+    both = {
+        int(d)
+        for d, t in zip(tiny_corpus_pdf["doc_id"], tiny_corpus_pdf["text"])
+        if "term0001" in tokenize_text(t) and "term0002" in tokenize_text(t)
+    }
+    only = {
+        int(d)
+        for d, t in zip(tiny_corpus_pdf["doc_id"], tiny_corpus_pdf["text"])
+        if "term0001" in tokenize_text(t)
+        and "term0002" not in tokenize_text(t)
+    }
+    assert kept == only and kept.isdisjoint(both) and len(only) > 0
+
+
 def test_msm_above_distinct_count_is_empty(spark, tiny_corpus_pdf):
     corpus = spark.createDataFrame(tiny_corpus_pdf)
     queries = spark.createDataFrame(
