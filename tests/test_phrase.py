@@ -59,6 +59,39 @@ def test_phrase_freq_col_matches_python_twin(spark):
         assert phrase_freq_py(tokenize_text(text or ""), terms) == expect
 
 
+def test_phrase_freq_randomized_batch_matches_twin(spark):
+    """200 random texts over a tiny alphabet x 8 random phrases, compared
+    in ONE Spark job against the pure-Python twin — the randomized
+    contract pin for overlap/boundary behavior."""
+    rng = np.random.default_rng(20260817)
+    texts = [
+        " ".join(rng.choice(["a", "b", "c"], size=rng.integers(0, 12)))
+        for _ in range(200)
+    ]
+    phrases = [
+        list(rng.choice(["a", "b", "c"], size=rng.integers(1, 4)))
+        for _ in range(8)
+    ]
+    from opensearch_jvector_plugin_spark.functions.tokenizer import tokenize_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id INT, text STRING"
+    )
+    base = df.select("id", tokenize_col("text").alias("toks"))
+    cols = [
+        phrase_freq_col(F.col("toks"), terms).alias(f"pf_{j}")
+        for j, terms in enumerate(phrases)
+    ]
+    got = {r["id"]: r for r in base.select("id", *cols).collect()}
+    for i, text in enumerate(texts):
+        toks = tokenize_text(text)
+        for j, terms in enumerate(phrases):
+            assert got[i][f"pf_{j}"] == phrase_freq_py(toks, terms), (
+                text,
+                terms,
+            )
+
+
 PHRASES = [
     (0, "term0001 term0002", 10),
     (1, "hotcommon hotfive", 10),  # planted adjacent suffix on i%15==0 docs
