@@ -244,6 +244,36 @@ def q_bm25_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, _phrase_ks(spark))
 
 
+# Proximity (NEAR) query set: (query_id, term1, term2, slop, k) — an
+# ordered within-slop pair, a wider window, slop=0 (== exact bigram,
+# test-pinned vs the phrase path), an OOV second term (empty).
+NEAR_QUERIES: list[tuple[int, str, str, int, int]] = [
+    (0, "spark", "join", 2, 10),
+    (1, "customer", "data", 3, 10),
+    (2, "sort", "merge", 0, 10),
+    (3, "data", "zzznotaword", 2, 10),
+]
+
+
+def q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity query (the bigram sloppy-phrase case): tf = count
+    of term2 occurrences with a term1 within slop intervening tokens
+    (operators/phrase.near_scores)."""
+    import pandas as pd
+
+    from .operators.phrase import near_scores
+
+    qpdf = pd.DataFrame(
+        NEAR_QUERIES, columns=["query_id", "term1", "term2", "slop", "k"]
+    )
+    scored = near_scores(_docs(spark, sf_dir), qpdf)
+    ks = spark.createDataFrame(
+        [(q, k) for q, _a, _b, _s, k in NEAR_QUERIES],
+        "query_id INT, _k LONG",
+    )
+    return _rank_rounded(scored, ks)
+
+
 # minimum_should_match query set: (query_id, text, k, msm over DISTINCT
 # terms) — a 3-of-4, a 2-of-3, a full conjunction, an msm that needs an OOV
 # term (empty), and a duplicated-term query (duplicates collapse).
@@ -1056,6 +1086,60 @@ WHERE r.rank <= ks.k
 
 
 SQL_BM25_PHRASE = _phrase_sql()
+
+
+def _near_sql() -> str:
+    pf_parts, whens = [], []
+    for qid, t1, t2, slop, _k in NEAR_QUERIES:
+        win = (
+            f"len(list_filter(range(greatest(1, j - {slop + 1}), j),"
+            f" i -> toks[i] = '{t1}')) > 0"
+        )
+        pf = (
+            f"len(list_filter(range(1, len(toks) + 1),"
+            f" j -> toks[j] = '{t2}' AND {win}))"
+        )
+        pf_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, len(toks)::BIGINT AS dl,"
+            f" {pf}::BIGINT AS pf FROM corpus"
+        )
+        whens.append(f"WHEN {qid} THEN ({_phrase_idf_sql([t1, t2])})")
+    tf_norm = bm25_tf_norm_sql("p.pf", "p.dl", "s.avgdl")
+    ks = ", ".join(f"({q}, {k})" for q, _a, _b, _s, k in NEAR_QUERIES)
+    return f"""
+WITH corpus AS (
+  {_DOCS_CORPUS_SQL}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(len(toks))::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM corpus
+),
+pf AS (
+  {" UNION ALL ".join(pf_parts)}
+),
+scored AS (
+  SELECT p.query_id, p.doc_id,
+         (CASE p.query_id {" ".join(whens)} END) * {tf_norm} AS score
+  FROM pf p CROSS JOIN stats s
+  WHERE p.pf > 0
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+),
+ks(query_id, k) AS (VALUES {ks})
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM ranked r JOIN ks ON r.query_id = ks.query_id
+WHERE r.rank <= ks.k
+"""
+
+
+SQL_BM25_NEAR = _near_sql()
 
 
 def _msm_sql() -> str:
@@ -1975,6 +2059,7 @@ QUERIES = {
     "bm25_fuzzy": q_bm25_fuzzy,
     "bm25_prefix": q_bm25_prefix,
     "bm25_boolean": q_bm25_boolean,
+    "bm25_near": q_bm25_near,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "postings_sample": q_postings_sample,
@@ -2026,6 +2111,7 @@ ORACLES = {
     "bm25_fuzzy": SQL_BM25_FUZZY,
     "bm25_prefix": SQL_BM25_PREFIX,
     "bm25_boolean": SQL_BM25_BOOLEAN,
+    "bm25_near": SQL_BM25_NEAR,
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "postings_sample": SQL_POSTINGS_SAMPLE,

@@ -101,6 +101,29 @@ def _compile_phrases(queries: pd.DataFrame) -> list[tuple[int, list[str]]]:
     return out
 
 
+def near_freq_col(
+    toks: Column, t1: str, t2: str, slop: int
+) -> Column:
+    """Ordered 2-term proximity count (the bigram sloppy-phrase case):
+    occurrences of t2 preceded by a t1 within `slop` intervening tokens
+    (slop=0 == exact bigram adjacency). A codegen'd nested higher-order
+    projection — filter() over positions with an exists() window probe."""
+
+    def is_match(j: Column) -> Column:
+        window = F.sequence(
+            F.greatest(F.lit(0), j - F.lit(slop + 1)), j - F.lit(1)
+        )
+        has_t1 = F.exists(window, lambda i: F.get(toks, i) == F.lit(t1))
+        return (F.get(toks, j) == F.lit(t2)) & F.when(
+            j > 0, has_t1
+        ).otherwise(F.lit(False))
+
+    positions = F.sequence(F.lit(0), F.size(toks) - F.lit(1))
+    return F.when(
+        F.size(toks) > 0, F.size(F.filter(positions, is_match))
+    ).otherwise(F.lit(0))
+
+
 def phrase_scores(
     corpus: DataFrame,
     queries: pd.DataFrame,
@@ -118,6 +141,51 @@ def phrase_scores(
     with pf > 0. The per-query weight joins back as a broadcast of P rows.
     """
     qs = _compile_phrases(queries)
+    qdefs = [
+        (qid, terms, (lambda toks, terms=terms: phrase_freq_col(toks, terms)))
+        for qid, terms in qs
+    ]
+    return _pseudo_term_scores(corpus, qdefs, doc_id_col, text_col)
+
+
+def near_scores(
+    corpus: DataFrame,
+    queries: pd.DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity (NEAR) scoring: queries is a pandas frame with columns
+    (query_id, term1, term2, slop). tf = the ordered within-slop pair
+    count (near_freq_col), weight = idf(term1) + idf(term2) — the same
+    pseudo-term contract as phrase_scores, so near(t1, t2, slop=0) is
+    frame-identical to phrase [t1, t2] (test-pinned)."""
+    qdefs = []
+    for r in queries.itertuples(index=False):
+        t1, t2, slop = str(r.term1), str(r.term2), int(r.slop)
+        qdefs.append(
+            (
+                int(r.query_id),
+                [t1, t2],
+                (
+                    lambda toks, t1=t1, t2=t2, slop=slop: near_freq_col(
+                        toks, t1, t2, slop
+                    )
+                ),
+            )
+        )
+    return _pseudo_term_scores(corpus, qdefs, doc_id_col, text_col)
+
+
+def _pseudo_term_scores(
+    corpus: DataFrame,
+    qdefs: list[tuple[int, list[str], object]],
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared pseudo-term scorer: each query is (qid, weight_terms,
+    pf_builder) where pf_builder(toks) -> per-doc frequency Column and the
+    weight is the occurrence-order idf left fold over weight_terms."""
+    qs = [(qid, terms) for qid, terms, _fn in qdefs]
     if not qs:
         return corpus.sparkSession.createDataFrame(
             [], "query_id INT, doc_id LONG, score DOUBLE"
@@ -155,9 +223,9 @@ def phrase_scores(
     pf_structs = [
         F.struct(
             F.lit(qid).alias("query_id"),
-            phrase_freq_col(F.col("toks"), terms).alias("pf"),
+            pf_builder(F.col("toks")).alias("pf"),
         )
-        for qid, terms in qs
+        for qid, _terms, pf_builder in qdefs
     ]
     perdoc = (
         base.select(

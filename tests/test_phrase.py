@@ -245,6 +245,74 @@ def test_msm_filters_to_python_set_and_keeps_scores(spark, tiny_corpus_pdf):
     assert (merged["score"] == merged["score_plain"]).all()
 
 
+def _near_py(tokens, t1, t2, slop):
+    return sum(
+        1
+        for j, tok in enumerate(tokens)
+        if tok == t2
+        and any(
+            tokens[i] == t1 for i in range(max(0, j - slop - 1), j)
+        )
+    )
+
+
+def test_near_slop_zero_equals_bigram_phrase(spark, tiny_corpus_pdf):
+    from opensearch_jvector_plugin_spark.operators.phrase import near_scores
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    near = _norm(
+        near_scores(
+            corpus,
+            pd.DataFrame(
+                [(1, "hotcommon", "hotfive", 0)],
+                columns=["query_id", "term1", "term2", "slop"],
+            ),
+        ).toPandas()
+    )
+    phr = _norm(
+        phrase_scores(
+            corpus,
+            pd.DataFrame(
+                [(1, "hotcommon hotfive", 10)],
+                columns=["query_id", "query_text", "k"],
+            ),
+        ).toPandas()
+    )
+    assert len(near) > 0
+    pd.testing.assert_frame_equal(near, phr)
+
+
+def test_near_counts_match_python_oracle(spark, tiny_corpus_pdf):
+    from opensearch_jvector_plugin_spark.operators.phrase import (
+        near_freq_col,
+    )
+    from opensearch_jvector_plugin_spark.functions.tokenizer import (
+        tokenize_col,
+    )
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    cases = [("term0001", "term0002", 2), ("the", "data", 4),
+             ("hotcommon", "hotfive", 0)]
+    cols = [
+        near_freq_col(F.col("toks"), t1, t2, s).alias(f"pf_{i}")
+        for i, (t1, t2, s) in enumerate(cases)
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in corpus.select(
+            "doc_id", tokenize_col("text").alias("toks")
+        ).select("doc_id", *cols).collect()
+    }
+    hits = 0
+    for doc_id, text in zip(tiny_corpus_pdf["doc_id"], tiny_corpus_pdf["text"]):
+        toks = tokenize_text(text)
+        for i, (t1, t2, s) in enumerate(cases):
+            want = _near_py(toks, t1, t2, s)
+            assert got[doc_id][f"pf_{i}"] == want
+            hits += want > 0
+    assert hits > 0
+
+
 def _bool_df(spark, rows):
     return spark.createDataFrame(
         rows,
