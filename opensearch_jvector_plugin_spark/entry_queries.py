@@ -355,6 +355,59 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+# Wildcard query set (one pattern per query): wide `s*` expansion, a
+# `?` single-char hole, a suffix match, a literal pattern (degenerates to
+# exact term equality), an unmatched pattern (empty).
+WILDCARD_QUERIES: list[tuple[int, str, int]] = [
+    (0, "s*", 10),
+    (1, "s?an", 10),
+    (2, "*ow", 10),
+    (3, "data", 10),
+    (4, "zz*", 10),
+]
+
+
+def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WildcardQuery analog under the scoring-boolean rewrite: the pattern
+    expands to every dict term it LIKE-matches after `*`→`%` `?`→`_`
+    translation, each weighted idf (operators/fuzzy.py wildcard_scores)."""
+    from .operators.fuzzy import wildcard_scores
+
+    scored = wildcard_scores(
+        _docs(spark, sf_dir), [(q, p) for q, p, _k in WILDCARD_QUERIES]
+    )
+    ks = spark.createDataFrame(
+        [(q, k) for q, _p, k in WILDCARD_QUERIES], "query_id INT, _k LONG"
+    )
+    return _rank_rounded(scored, ks)
+
+
+# Regexp query set (anchored whole-term match, portable RE2/Java subset):
+# alternation, a `.` hole, class + alternation suffixes, `.*` tail, an
+# unmatched pattern (empty).
+REGEXP_QUERIES: list[tuple[int, str, int]] = [
+    (0, "(spark|merge)", 10),
+    (1, "sc.n", 10),
+    (2, "[bf]a(st|tch)", 10),
+    (3, "qu.*", 10),
+    (4, "zzz+", 10),
+]
+
+
+def q_bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpQuery analog: anchored whole-term regex expansion over the
+    dictionary, scoring-boolean rewrite (operators/fuzzy.py regexp_scores)."""
+    from .operators.fuzzy import regexp_scores
+
+    scored = regexp_scores(
+        _docs(spark, sf_dir), [(q, p) for q, p, _k in REGEXP_QUERIES]
+    )
+    ks = spark.createDataFrame(
+        [(q, k) for q, _p, k in REGEXP_QUERIES], "query_id INT, _k LONG"
+    )
+    return _rank_rounded(scored, ks)
+
+
 # Prefix query set: a one-letter prefix (wide expansion), an exact-length
 # prefix (single term), an unmatched prefix (empty), a term that is only
 # its own prefix (degenerates to exact BM25), a multi-prefix query.
@@ -1283,6 +1336,62 @@ WHERE f.rank <= q.k
 SQL_BM25_PREFIX = _prefix_sql()
 
 
+def _pattern_sql(
+    pats: list[tuple[int, str, int]], match_pred: str, pat_fn=lambda p: p
+) -> str:
+    """Shared oracle for single-pattern-per-query expansion (wildcard /
+    regexp): dict terms matching the pattern join with weight idf, then the
+    standard scoring tail. match_pred references p.pattern and d.term."""
+    tf_norm = bm25_tf_norm_sql("tf.tf", "doclen.dl", "s.avgdl")
+    rows = ", ".join(f"({q}, '{pat_fn(p)}')" for q, p, _k in pats)
+    return (
+        "WITH "
+        + _bm25_ctes(queries=pats)
+        + f""",
+pat AS (SELECT * FROM (VALUES {rows}) AS p(query_id, pattern)),
+expanded AS (
+  SELECT p.query_id, d.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM pat p JOIN dfreq d ON {match_pred}
+  CROSS JOIN stats s
+),
+fscored AS (
+  SELECT e.query_id, tf.doc_id, sum(e.w * {tf_norm}) AS score
+  FROM expanded e
+  JOIN tf USING (term)
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, tf.doc_id
+),
+franked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM fscored
+)
+SELECT f.query_id, f.rank::INT AS rank, f.doc_id, f.score
+FROM franked f JOIN q ON f.query_id = q.query_id
+WHERE f.rank <= q.k
+"""
+    )
+
+
+def _wildcard_sql() -> str:
+    from .operators.fuzzy import wildcard_to_like
+
+    return _pattern_sql(
+        WILDCARD_QUERIES, "d.term LIKE p.pattern", wildcard_to_like
+    )
+
+
+SQL_BM25_WILDCARD = _wildcard_sql()
+SQL_BM25_REGEXP = _pattern_sql(
+    REGEXP_QUERIES, "regexp_full_match(d.term, p.pattern)"
+)
+
+
 def _boolean_sql() -> str:
     # Scoring prelude: must+should occurrences pooled as the query text.
     ctes = _bm25_ctes(
@@ -2058,6 +2167,8 @@ QUERIES = {
     "bm25_highlight": q_bm25_highlight,
     "bm25_fuzzy": q_bm25_fuzzy,
     "bm25_prefix": q_bm25_prefix,
+    "bm25_wildcard": q_bm25_wildcard,
+    "bm25_regexp": q_bm25_regexp,
     "bm25_boolean": q_bm25_boolean,
     "bm25_near": q_bm25_near,
     "term_stats": q_term_stats,
@@ -2110,6 +2221,8 @@ ORACLES = {
     "bm25_highlight": SQL_BM25_HIGHLIGHT,
     "bm25_fuzzy": SQL_BM25_FUZZY,
     "bm25_prefix": SQL_BM25_PREFIX,
+    "bm25_wildcard": SQL_BM25_WILDCARD,
+    "bm25_regexp": SQL_BM25_REGEXP,
     "bm25_boolean": SQL_BM25_BOOLEAN,
     "bm25_near": SQL_BM25_NEAR,
     "term_stats": SQL_TERM_STATS,

@@ -1,4 +1,5 @@
-"""Term-expansion queries: fuzzy (FuzzyQuery) and prefix (PrefixQuery).
+"""Term-expansion queries: fuzzy (FuzzyQuery), prefix (PrefixQuery),
+wildcard (WildcardQuery) and regexp (RegexpQuery).
 
 Lucene's FuzzyQuery expands a query term to every dictionary term within
 maxEdits via a Levenshtein automaton over the term FST and down-weights
@@ -17,12 +18,24 @@ the fuzzy extras come in down-weighted. Both engines evaluate the SAME
 operation order (qtf * boost * idf), and levenshtein() is a built-in on
 both sides (JVM codegen in Spark, native in DuckDB) — no UDF.
 
+Wildcard and regexp queries (Lucene WildcardQuery / RegexpQuery,
+MultiTermQuery siblings of PrefixQuery) use the same SCORING_BOOLEAN
+rewrite as prefix: every dictionary term matching the pattern joins the
+query with weight idf(term) (one pattern per query, implicit qtf = 1 —
+patterns are not tokenizable text). The match predicates are JVM
+built-ins (`LIKE` after `*`→`%` `?`→`_` translation; anchored `RLIKE`)
+so all three implementations (Column, SQL oracle, any driver twin)
+evaluate the same engine-native predicate — no UDF.
+
 Scale note: expansion scans the term DICTIONARY (|V| rows — millions at
 100 TB, vs trillions of postings) with the small query-term set broadcast;
 Lucene's FST automaton walk is an optimization of this same scan that cuts
 |V| to the automaton's neighborhood. The postings side then proceeds
 exactly like score_all: the expanded weight table broadcasts into the
 postings scan, so fuzzy costs one dict scan more than an exact query.
+For the pattern queries all patterns project over ONE dict scan (a
+struct-array explode, the phrase-projection discipline) rather than one
+scan per pattern.
 """
 
 from __future__ import annotations
@@ -83,6 +96,117 @@ def prefix_expand(
             "term",
             (F.col("qtf") * bm25_idf(F.col("df"), float(n_docs))).alias("w"),
         )
+    )
+
+
+WILDCARD_CHARS = set("abcdefghijklmnopqrstuvwxyz0123456789*?")
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """Translate a Lucene wildcard pattern (`*` any run, `?` one char) to
+    the equivalent SQL LIKE pattern. Dictionary terms are `[a-z0-9]+` by
+    the tokenizer contract, so patterns are restricted to that alphabet
+    plus the two wildcards — nothing ever needs LIKE-escaping and the
+    translation is the same string on both engines."""
+    if not pattern or any(c not in WILDCARD_CHARS for c in pattern):
+        raise ValueError(
+            f"wildcard pattern must be non-empty [a-z0-9*?]+, got {pattern!r}"
+        )
+    return pattern.replace("*", "%").replace("?", "_")
+
+
+def pattern_expand(
+    term_df: DataFrame,
+    n_docs: float,
+    pats: list[tuple[int, str]],
+    match_builder,
+) -> DataFrame:
+    """(query_id, term, w = idf) for every dict term matching each query's
+    pattern. All patterns are projected over ONE dict scan: a per-term
+    struct array (query_id, matched) exploded and filtered, so adding a
+    pattern adds a codegen'd predicate, not a scan."""
+    structs = [
+        F.struct(
+            F.lit(int(qid)).alias("query_id"),
+            match_builder(F.col("term"), pat).alias("m"),
+        )
+        for qid, pat in pats
+    ]
+    return (
+        term_df.select(
+            "term", "df", F.explode(F.array(*structs)).alias("s")
+        )
+        .where(F.col("s.m"))
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            "term",
+            bm25_idf(F.col("df"), float(n_docs)).alias("w"),
+        )
+    )
+
+
+def _pattern_scores(
+    corpus: DataFrame,
+    pats: list[tuple[int, str]],
+    match_builder,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """Shared scoring tail for single-pattern-per-query expansion."""
+    postings = postings_df(corpus).persist()
+    try:
+        if stats is None:
+            stats = corpus_stats(corpus)
+        term_df = postings.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        weighted = pattern_expand(term_df, stats.n_docs, pats, match_builder)
+        scored = postings.join(F.broadcast(weighted), "term").select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("w")
+                * bm25_tf_norm(F.col("tf"), F.col("dl"), stats.avgdl)
+            ).alias("contrib"),
+        )
+        out = scored.groupBy("query_id", "doc_id").agg(
+            F.sum("contrib").alias("score")
+        )
+        out._ojs_persisted = postings
+        return out
+    except Exception:
+        postings.unpersist()
+        raise
+
+
+def wildcard_scores(
+    corpus: DataFrame,
+    pats: list[tuple[int, str]],
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """WildcardQuery under the scoring-boolean rewrite: pats is
+    [(query_id, pattern)] with `*`/`?` wildcards; score = sum over matched
+    dict terms of idf(term) * tf_norm."""
+    like_pats = [(qid, wildcard_to_like(p)) for qid, p in pats]
+    return _pattern_scores(
+        corpus, like_pats, lambda term, p: term.like(p), stats
+    )
+
+
+def regexp_scores(
+    corpus: DataFrame,
+    pats: list[tuple[int, str]],
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """RegexpQuery under the scoring-boolean rewrite: each pattern is
+    implicitly anchored (Lucene matches the WHOLE term) — the Column side
+    wraps it `^(?:pat)$` for the unanchored RLIKE, the oracle uses DuckDB's
+    anchored regexp_full_match. Patterns must stay in the portable subset
+    both regex engines share (character classes, alternation, `.` `*` `+`)."""
+    return _pattern_scores(
+        corpus,
+        list(pats),
+        lambda term, p: term.rlike(f"^(?:{p})$"),
+        stats,
     )
 
 

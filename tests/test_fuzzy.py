@@ -105,3 +105,87 @@ def test_fuzzy_garbage_term_expands_to_nothing(spark, tiny_corpus_pdf):
         [(0, "zzzzzzzzzzzz", 10)], "query_id INT, query_text STRING, k LONG"
     )
     assert fuzzy_scores(corpus, queries).count() == 0
+
+
+def test_wildcard_literal_pattern_equals_plain_bm25(spark, tiny_corpus_pdf):
+    """A pattern with no wildcards LIKE-matches only the exact term, and
+    the single-term scoring-boolean weight (idf, qtf=1) equals plain BM25
+    for a one-term query."""
+    from opensearch_jvector_plugin_spark.operators.fuzzy import (
+        wildcard_scores,
+    )
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    wild = _norm(wildcard_scores(corpus, [(0, "hotcommon")]).toPandas())
+    queries = spark.createDataFrame(
+        [(0, "hotcommon", 10)], "query_id INT, query_text STRING, k LONG"
+    )
+    plain = _norm(score_all(corpus, queries).toPandas())
+    pd.testing.assert_frame_equal(wild, plain)
+
+
+def test_wildcard_expansion_matches_fnmatch(spark, tiny_corpus_pdf):
+    """`hot*n` must match exactly the dict terms fnmatch agrees with, and
+    every doc containing any matched term is scored."""
+    import fnmatch
+
+    from opensearch_jvector_plugin_spark.functions.tokenizer import (
+        tokenize_text,
+    )
+    from opensearch_jvector_plugin_spark.operators.fuzzy import (
+        wildcard_scores,
+    )
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    got = set(
+        wildcard_scores(corpus, [(0, "t?rm000*")])
+        .toPandas()["doc_id"].astype(int)
+    )
+    want = {
+        int(d)
+        for d, t in zip(tiny_corpus_pdf["doc_id"], tiny_corpus_pdf["text"])
+        if any(
+            fnmatch.fnmatchcase(tok, "t?rm000*") for tok in tokenize_text(t)
+        )
+    }
+    assert got == want and len(want) > 0
+
+
+def test_wildcard_rejects_bad_pattern(spark, tiny_corpus_pdf):
+    from opensearch_jvector_plugin_spark.operators.fuzzy import (
+        wildcard_to_like,
+    )
+
+    for bad in ["", "has space", "Upper", "per%cent", "un_der"]:
+        with pytest.raises(ValueError):
+            wildcard_to_like(bad)
+
+
+def test_regexp_is_anchored_whole_term(spark, tiny_corpus_pdf):
+    """`erm0001` is a substring of term0001 but must NOT match: Lucene
+    RegexpQuery anchors the pattern to the whole term."""
+    from opensearch_jvector_plugin_spark.operators.fuzzy import regexp_scores
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    assert regexp_scores(corpus, [(0, "erm0001")]).count() == 0
+    assert regexp_scores(corpus, [(0, "term0001")]).count() > 0
+
+
+def test_regexp_alternation_unions_terms(spark, tiny_corpus_pdf):
+    """(a|b) scores exactly the union of the two terms' doc sets."""
+    from opensearch_jvector_plugin_spark.functions.tokenizer import (
+        tokenize_text,
+    )
+    from opensearch_jvector_plugin_spark.operators.fuzzy import regexp_scores
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    got = set(
+        regexp_scores(corpus, [(0, "(hotcommon|hotrare)")])
+        .toPandas()["doc_id"].astype(int)
+    )
+    want = {
+        int(d)
+        for d, t in zip(tiny_corpus_pdf["doc_id"], tiny_corpus_pdf["text"])
+        if {"hotcommon", "hotrare"} & set(tokenize_text(t))
+    }
+    assert got == want and len(want) > 0
