@@ -244,6 +244,34 @@ def q_bm25_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, _phrase_ks(spark))
 
 
+# match_phrase_prefix query set: last token is a prefix of the final
+# phrase position — a matched bigram+prefix, a trigram+wide one-letter
+# prefix, a pure single-prefix query (degenerates to the prefix
+# pseudo-term), an unmatched continuation (empty).
+MPP_QUERIES: list[tuple[int, str, int]] = [
+    (0, "data tab", 10),
+    (1, "hash ro", 10),
+    (2, "wind", 10),
+    (3, "spark zz", 10),
+]
+
+
+def q_bm25_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix: exact phrase terms followed by a prefix-matched
+    last position, scored as one pseudo-term whose weight adds the prefix's
+    union-df idf (operators/phrase.py match_phrase_prefix_scores)."""
+    import pandas as pd
+
+    from .operators.phrase import match_phrase_prefix_scores
+
+    qpdf = pd.DataFrame(MPP_QUERIES, columns=["query_id", "query_text", "k"])
+    scored = match_phrase_prefix_scores(_docs(spark, sf_dir), qpdf)
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, k in MPP_QUERIES], "query_id INT, _k LONG"
+    )
+    return _rank_rounded(scored, ks)
+
+
 # Proximity (NEAR) query set: (query_id, term1, term2, slop, k) — an
 # ordered within-slop pair, a wider window, slop=0 (== exact bigram,
 # test-pinned vs the phrase path), an OOV second term (empty).
@@ -1139,6 +1167,72 @@ WHERE r.rank <= ks.k
 
 
 SQL_BM25_PHRASE = _phrase_sql()
+
+
+def _mpp_sql() -> str:
+    pf_parts, whens = [], []
+    for qid, text, _k in MPP_QUERIES:
+        toks = tokenize_text(text)
+        exact, prefix = toks[:-1], toks[-1]
+        n = len(exact) + 1
+        conds = [
+            f"toks[i+{j}] = '{t}'" if j else f"toks[i] = '{t}'"
+            for j, t in enumerate(exact)
+        ]
+        last = f"starts_with(toks[i+{n - 1}], '{prefix}')" if n > 1 else (
+            f"starts_with(toks[i], '{prefix}')"
+        )
+        cond = " AND ".join(conds + [last])
+        pf = f"len(list_filter(range(1, len(toks) - {n} + 2), i -> {cond}))"
+        pf_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, len(toks)::BIGINT AS dl,"
+            f" {pf}::BIGINT AS pf FROM corpus"
+        )
+        # Same left fold as the Column chain: exact idfs in occurrence
+        # order, then the prefix pseudo-term's union-df idf last.
+        pdf = (
+            f"(SELECT count(*) FROM corpus WHERE"
+            f" len(list_filter(toks, t -> starts_with(t, '{prefix}'))) > 0)"
+        )
+        pidf = f"ln(1.0 + (s.n_docs - {pdf} + 0.5) / ({pdf} + 0.5))"
+        w = (_phrase_idf_sql(exact) + " + " if exact else "") + pidf
+        whens.append(f"WHEN {qid} THEN ({w})")
+    tf_norm = bm25_tf_norm_sql("p.pf", "p.dl", "s.avgdl")
+    ks = ", ".join(f"({q}, {k})" for q, _t, k in MPP_QUERIES)
+    return f"""
+WITH corpus AS (
+  {_DOCS_CORPUS_SQL}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(len(toks))::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM corpus
+),
+pf AS (
+  {" UNION ALL ".join(pf_parts)}
+),
+scored AS (
+  SELECT p.query_id, p.doc_id,
+         (CASE p.query_id {" ".join(whens)} END) * {tf_norm} AS score
+  FROM pf p CROSS JOIN stats s
+  WHERE p.pf > 0
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+),
+ks(query_id, k) AS (VALUES {ks})
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM ranked r JOIN ks ON r.query_id = ks.query_id
+WHERE r.rank <= ks.k
+"""
+
+
+SQL_BM25_MPP = _mpp_sql()
 
 
 def _near_sql() -> str:
@@ -2169,6 +2263,7 @@ QUERIES = {
     "bm25_prefix": q_bm25_prefix,
     "bm25_wildcard": q_bm25_wildcard,
     "bm25_regexp": q_bm25_regexp,
+    "bm25_match_phrase_prefix": q_bm25_match_phrase_prefix,
     "bm25_boolean": q_bm25_boolean,
     "bm25_near": q_bm25_near,
     "term_stats": q_term_stats,
@@ -2223,6 +2318,7 @@ ORACLES = {
     "bm25_prefix": SQL_BM25_PREFIX,
     "bm25_wildcard": SQL_BM25_WILDCARD,
     "bm25_regexp": SQL_BM25_REGEXP,
+    "bm25_match_phrase_prefix": SQL_BM25_MPP,
     "bm25_boolean": SQL_BM25_BOOLEAN,
     "bm25_near": SQL_BM25_NEAR,
     "term_stats": SQL_TERM_STATS,

@@ -101,6 +101,29 @@ def _compile_phrases(queries: pd.DataFrame) -> list[tuple[int, list[str]]]:
     return out
 
 
+def phrase_prefix_freq_col(
+    toks: Column, exact: list[str], prefix: str
+) -> Column:
+    """match_phrase_prefix frequency: start positions where `exact` occurs
+    consecutively followed by any token starting with `prefix` (Lucene's
+    MultiPhraseQuery with the last position expanded; ES match_phrase_prefix).
+    With no exact terms this degenerates to the prefix pseudo-term's tf."""
+    n = len(exact) + 1
+
+    def match(i: Column) -> Column:
+        cond: Column | None = None
+        for off, t in enumerate(exact):
+            c = F.get(toks, i + F.lit(off)) == F.lit(t)
+            cond = c if cond is None else cond & c
+        last = F.get(toks, i + F.lit(n - 1)).startswith(F.lit(prefix))
+        return last if cond is None else cond & last
+
+    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    return F.when(
+        F.size(toks) >= n, F.size(F.filter(starts, match))
+    ).otherwise(F.lit(0))
+
+
 def near_freq_col(
     toks: Column, t1: str, t2: str, slop: int
 ) -> Column:
@@ -178,14 +201,17 @@ def near_scores(
 
 def _pseudo_term_scores(
     corpus: DataFrame,
-    qdefs: list[tuple[int, list[str], object]],
+    qdefs: list[tuple[int, list, object]],
     doc_id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Shared pseudo-term scorer: each query is (qid, weight_terms,
+    """Shared pseudo-term scorer: each query is (qid, weight_specs,
     pf_builder) where pf_builder(toks) -> per-doc frequency Column and the
-    weight is the occurrence-order idf left fold over weight_terms."""
-    qs = [(qid, terms) for qid, terms, _fn in qdefs]
+    weight is the occurrence-order idf left fold over weight_specs. A spec
+    is a plain term string (df = docs containing the term) or a
+    ("prefix", p) pair (df = docs containing ANY term starting with p —
+    the expanded last position of match_phrase_prefix as one pseudo-term)."""
+    qs = [(qid, specs) for qid, specs, _fn in qdefs]
     if not qs:
         return corpus.sparkSession.createDataFrame(
             [], "query_id INT, doc_id LONG, score DOUBLE"
@@ -194,21 +220,32 @@ def _pseudo_term_scores(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         tokenize_col(text_col).alias("toks"),
     )
-    all_terms = sorted({t for _, ts in qs for t in ts})
+
+    def norm(spec) -> tuple[str, str]:
+        return ("term", spec) if isinstance(spec, str) else tuple(spec)
+
+    all_specs = sorted({norm(s) for _, specs in qs for s in specs})
     aggs = [
         F.count("*").cast("double").alias("_n"),
         F.avg(F.size("toks").cast("double")).alias("_avgdl"),
-    ] + [
-        F.sum(F.array_contains("toks", t).cast("long")).alias(f"_df_{i}")
-        for i, t in enumerate(all_terms)
     ]
+    for i, (kind, val) in enumerate(all_specs):
+        if kind == "term":
+            hit = F.array_contains("toks", val)
+        else:  # prefix pseudo-term df: any token starts with val
+            def _starts(p):
+                # Factory keeps the HOF lambda unary (PySpark reads arity).
+                return lambda t: t.startswith(F.lit(p))
+
+            hit = F.exists("toks", _starts(val))
+        aggs.append(F.sum(hit.cast("long")).alias(f"_df_{i}"))
     stats = base.agg(*aggs)
-    tidx = {t: i for i, t in enumerate(all_terms)}
+    tidx = {s: i for i, s in enumerate(all_specs)}
     wstructs = []
-    for qid, terms in qs:
+    for qid, specs in qs:
         w: Column | None = None
-        for t in terms:  # occurrence-order left fold (see module docstring)
-            idf = bm25_idf(F.col(f"_df_{tidx[t]}"), F.col("_n"))
+        for s in specs:  # occurrence-order left fold (see module docstring)
+            idf = bm25_idf(F.col(f"_df_{tidx[norm(s)]}"), F.col("_n"))
             w = idf if w is None else w + idf
         wstructs.append(
             F.struct(F.lit(qid).alias("query_id"), w.alias("w"))
@@ -245,6 +282,40 @@ def _pseudo_term_scores(
             * bm25_tf_norm(F.col("pf"), F.col("dl"), F.col("avgdl"))
         ).alias("score"),
     )
+
+
+def match_phrase_prefix_scores(
+    corpus: DataFrame,
+    queries: pd.DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """match_phrase_prefix scoring: the query's last token is a PREFIX of
+    the final phrase position (ES match_phrase_prefix / Lucene
+    MultiPhraseQuery with an expanded last position). tf = the
+    phrase-prefix start-position count (phrase_prefix_freq_col); weight =
+    the occurrence-order idf fold over the exact terms plus ONE idf for
+    the prefix pseudo-term, whose df counts docs containing any term with
+    that prefix — the union posting list's df, which is what Lucene's
+    UnionPostings exposes to the similarity. A single-token query
+    degenerates to the pure prefix pseudo-term."""
+    qdefs = []
+    for r in queries.itertuples(index=False):
+        toks = tokenize_text(r.query_text)
+        if not toks:
+            continue
+        exact, prefix = toks[:-1], toks[-1]
+        qdefs.append(
+            (
+                int(r.query_id),
+                list(exact) + [("prefix", prefix)],
+                (
+                    lambda tk, exact=exact, prefix=prefix:
+                    phrase_prefix_freq_col(tk, exact, prefix)
+                ),
+            )
+        )
+    return _pseudo_term_scores(corpus, qdefs, doc_id_col, text_col)
 
 
 def _conjunction_docs(

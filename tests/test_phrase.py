@@ -405,3 +405,88 @@ def test_msm_above_distinct_count_is_empty(spark, tiny_corpus_pdf):
     )
     # 2 distinct terms; msm=3 can never be satisfied.
     assert msm_scores(corpus, queries, {1: 3}).count() == 0
+
+
+def test_mpp_full_last_term_equals_exact_phrase(spark, tiny_corpus_pdf):
+    """When the 'prefix' is a full term that no other dict term extends
+    ('hotcommon'), match_phrase_prefix is frame-identical to the exact
+    phrase: same pf (startswith == equality) and same weight (the prefix
+    pseudo-term's union df == the term's df)."""
+    from opensearch_jvector_plugin_spark.operators.phrase import (
+        match_phrase_prefix_scores,
+    )
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    # Find a bigram ending in hotcommon that actually occurs.
+    row = next(
+        t for t in tiny_corpus_pdf["text"]
+        if "hotcommon" in tokenize_text(t)
+        and tokenize_text(t).index("hotcommon") > 0
+    )
+    toks = tokenize_text(row)
+    i = toks.index("hotcommon")
+    text = f"{toks[i - 1]} hotcommon"
+    qpdf = pd.DataFrame(
+        [(0, text, 10)], columns=["query_id", "query_text", "k"]
+    )
+    mpp = (
+        match_phrase_prefix_scores(corpus, qpdf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ph = (
+        phrase_scores(corpus, qpdf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(mpp) > 0
+    pd.testing.assert_frame_equal(mpp, ph, check_dtype=False)
+
+
+def test_mpp_single_prefix_counts_prefix_tokens(spark, tiny_corpus_pdf):
+    """A one-token query degenerates to the prefix pseudo-term: pf must
+    equal the per-doc count of tokens starting with the prefix."""
+    from opensearch_jvector_plugin_spark.operators.phrase import (
+        match_phrase_prefix_scores,
+    )
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    qpdf = pd.DataFrame(
+        [(0, "hot", 10)], columns=["query_id", "query_text", "k"]
+    )
+    got = match_phrase_prefix_scores(corpus, qpdf).toPandas()
+    docs_py = {
+        int(d): sum(1 for t in tokenize_text(x) if t.startswith("hot"))
+        for d, x in zip(tiny_corpus_pdf["doc_id"], tiny_corpus_pdf["text"])
+    }
+    want_docs = {d for d, c in docs_py.items() if c > 0}
+    assert set(got["doc_id"].astype(int)) == want_docs and len(want_docs) > 0
+    # Score recomputed from the python twin quantities must match.
+    n = len(tiny_corpus_pdf)
+    df_pseudo = len(want_docs)
+    avgdl = float(
+        np.mean([len(tokenize_text(t)) for t in tiny_corpus_pdf["text"]])
+    )
+    dls = {
+        int(d): len(tokenize_text(t))
+        for d, t in zip(tiny_corpus_pdf["doc_id"], tiny_corpus_pdf["text"])
+    }
+    for r in got.itertuples(index=False):
+        want = bm25_idf_py(df_pseudo, float(n)) * bm25_tf_norm_py(
+            docs_py[int(r.doc_id)], dls[int(r.doc_id)], avgdl
+        )
+        assert abs(r.score - want) < 1e-9
+
+
+def test_mpp_unmatched_continuation_is_empty(spark, tiny_corpus_pdf):
+    from opensearch_jvector_plugin_spark.operators.phrase import (
+        match_phrase_prefix_scores,
+    )
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    qpdf = pd.DataFrame(
+        [(0, "hotcommon zz", 10)], columns=["query_id", "query_text", "k"]
+    )
+    assert match_phrase_prefix_scores(corpus, qpdf).count() == 0
