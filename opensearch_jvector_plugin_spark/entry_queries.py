@@ -949,6 +949,50 @@ def q_transcript_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(res.select("query_id", "doc_id", "score"), ks)
 
 
+# multi_match query set over the transcript fields text^1.0 / tool^2.0 —
+# cross-field hits, a tool-only hit (uniform postings -> docID tie-breaks),
+# text-only, a three-tool disjunction, zero-match, a rare-term cross, and a
+# duplicate-term (qtf) cross.
+MULTI_MATCH_QUERIES: list[tuple[int, str, int]] = [
+    (0, "term0001 bash", 10),
+    (1, "search", 10),
+    (2, "hotcommon editor", 10),
+    (3, "term0002 term0010", 10),
+    (4, "bash editor search", 10),
+    (5, "zzznothing", 10),
+    (6, "raretermaaa bash", 5),
+    (7, "term0003 term0003 bash", 10),
+]
+MULTI_MATCH_FIELDS: list[tuple[str, float]] = [("text", 1.0), ("tool", 2.0)]
+MULTI_MATCH_TIE_BREAKER = 0.3
+
+
+def q_transcript_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match best_fields over the transcript corpus: per-field BM25
+    (per-field docCount/avgdl/df — Lucene's per-field similarity state) on
+    text^1.0 and tool^2.0, combined per doc with DisjunctionMax +
+    tie_breaker 0.3 (operators/dismax.py)."""
+    from .operators.dismax import multi_match_scores
+    from .plans.docids import assign_doc_ids
+    from .sources.transcripts import synthesize_transcripts
+
+    corpus = assign_doc_ids(
+        synthesize_transcripts(spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS),
+        ["conv_id", "turn_idx"],
+    )
+    qdf = spark.createDataFrame(
+        MULTI_MATCH_QUERIES, "query_id INT, query_text STRING, k LONG"
+    )
+    scored = multi_match_scores(
+        corpus,
+        qdf,
+        MULTI_MATCH_FIELDS,
+        tie_breaker=MULTI_MATCH_TIE_BREAKER,
+    )
+    ks = qdf.select("query_id", F.col("k").alias("_k"))
+    return _rank_rounded(scored, ks)
+
+
 # ------------------------------------------------------- relational extras ---
 
 
@@ -2038,6 +2082,96 @@ def _transcript_sql() -> str:
 
 SQL_TRANSCRIPT_BM25 = _transcript_sql()
 
+
+def _multi_match_sql() -> str:
+    """multi_match best_fields oracle: per-field postings/stats CTEs over
+    the persisted transcript twin, DisjunctionMax + tie_breaker combine."""
+    path = os.path.join(
+        tempfile.gettempdir(), "ojs_transcript_oracle_v1.parquet"
+    )
+    rows = ", ".join(
+        f"({q}, '{t}', {k})" for q, t, k in MULTI_MATCH_QUERIES
+    )
+    boosts = ", ".join(
+        f"({i}, {b})" for i, (_n, b) in enumerate(MULTI_MATCH_FIELDS)
+    )
+    tok = "regexp_extract_all(lower(coalesce({col}, '')), '[a-z0-9]+')"
+    field_scans = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS field, len(toks{i})::BIGINT AS dl,"
+        f" unnest(toks{i}) AS term FROM corpus WHERE len(toks{i}) > 0"
+        for i in range(len(MULTI_MATCH_FIELDS))
+    )
+    tok_cols = ", ".join(
+        tok.format(col=name) + f" AS toks{i}"
+        for i, (name, _b) in enumerate(MULTI_MATCH_FIELDS)
+    )
+    tb = MULTI_MATCH_TIE_BREAKER
+    return f"""
+WITH corpus AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT
+           AS doc_id, {tok_cols}
+  FROM read_parquet('{path}')
+),
+fp AS (
+  SELECT doc_id, field, dl, term, count(*)::BIGINT AS tf
+  FROM ({field_scans})
+  GROUP BY doc_id, field, dl, term
+),
+fstats AS (
+  SELECT field, count(*)::DOUBLE AS n_f, avg(dl)::DOUBLE AS avgdl_f
+  FROM (SELECT DISTINCT doc_id, field, dl FROM fp)
+  GROUP BY field
+),
+fdf AS (
+  SELECT field, term, count(*)::BIGINT AS df FROM fp GROUP BY field, term
+),
+boosts AS (SELECT * FROM (VALUES {boosts}) b(field, boost)),
+q AS (SELECT * FROM (VALUES {rows}) q(query_id, query_text, k)),
+qt AS (
+  SELECT query_id, k, term, count(*)::DOUBLE AS qtf
+  FROM (
+    SELECT query_id, k,
+           unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS term
+    FROM q
+  )
+  GROUP BY query_id, k, term
+),
+perfield AS (
+  SELECT qt.query_id, fp.doc_id, fp.field,
+         sum(
+           qt.qtf * b.boost
+           * ln(1.0 + (s.n_f - fdf.df + 0.5) / (fdf.df + 0.5))
+           * {bm25_tf_norm_sql('fp.tf', 'fp.dl', 's.avgdl_f')}
+         ) AS s_f
+  FROM qt
+  JOIN fdf USING (term)
+  JOIN fp ON fp.field = fdf.field AND fp.term = fdf.term
+  JOIN fstats s ON s.field = fp.field
+  JOIN boosts b ON b.field = fp.field
+  GROUP BY qt.query_id, fp.doc_id, fp.field
+),
+combined AS (
+  SELECT query_id, doc_id,
+         max(s_f) + {tb} * (sum(s_f) - max(s_f)) AS score
+  FROM perfield
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM combined
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM ranked r JOIN q ON r.query_id = q.query_id
+WHERE r.rank <= q.k
+"""
+
+
+SQL_TRANSCRIPT_MULTI_MATCH = _multi_match_sql()
+
 def _ivf_trained_sql(
     metric: str,
     nprobe: int | None = None,
@@ -2296,6 +2430,7 @@ QUERIES = {
     "ann_ivf_auto": q_ann_ivf_auto,
     "ann_ivf_filtered": q_ann_ivf_filtered,
     "transcript_bm25_indexed": q_transcript_bm25_indexed,
+    "transcript_multi_match": q_transcript_multi_match,
     "topk_per_group": q_topk_per_group,
     "tpch_q1": q_tpch_q1,
     "sessionize": q_sessionize,
@@ -2353,6 +2488,7 @@ ORACLES = {
     "ann_ivf_auto": SQL_ANN_IVF_AUTO,
     "ann_ivf_filtered": SQL_ANN_IVF_FILTERED,
     "transcript_bm25_indexed": SQL_TRANSCRIPT_BM25,
+    "transcript_multi_match": SQL_TRANSCRIPT_MULTI_MATCH,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "tpch_q1": SQL_TPCH_Q1,
     "sessionize": SQL_SESSIONIZE,
