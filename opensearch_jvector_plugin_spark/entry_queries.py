@@ -15,6 +15,7 @@ Determinism conventions shared by both sides:
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 
@@ -991,6 +992,66 @@ def q_transcript_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ks = qdf.select("query_id", F.col("k").alias("_k"))
     return _rank_rounded(scored, ks)
+
+
+# ------------------------------------------------- search-hit aggregations ---
+
+TERMS_AGG_SIZES = {"tool": 2, "role": 3}  # tool has 3 non-null values: cut bites
+DATE_HISTOGRAM_INTERVAL_S = 3600  # conv spacing -> per-conversation buckets
+
+
+def _transcript_attrs(spark: SparkSession) -> DataFrame:
+    """docID-assigned transcript attribute columns (no text)."""
+    from .plans.docids import assign_doc_ids
+    from .sources.transcripts import synthesize_transcripts
+
+    return assign_doc_ids(
+        synthesize_transcripts(spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS),
+        ["conv_id", "turn_idx"],
+    ).select("doc_id", "role", "tool", "ts", "turn_idx")
+
+
+def q_transcript_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch terms aggregation over the transcript BM25 hit set: per
+    (query, field) buckets ordered doc_count desc / key asc, top `size`,
+    NULLs skipped (operators/aggs.py; field-data path
+    KNNVectorIndexFieldData.java:1-60)."""
+    from .operators.aggs import terms_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    attrs = _transcript_attrs(spark)
+    parts = [
+        terms_agg(hits, attrs, field, size).select(
+            "query_id", F.lit(field).alias("field"), "key", "doc_count"
+        )
+        for field, size in sorted(TERMS_AGG_SIZES.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_transcript_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval date_histogram (min_doc_count=0 gap-filled) over the
+    transcript BM25 hit set; bucket_ts = epoch-second bucket start."""
+    from .operators.aggs import date_histogram_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    return date_histogram_agg(
+        hits, _transcript_attrs(spark), "ts", DATE_HISTOGRAM_INTERVAL_S
+    )
+
+
+def q_transcript_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric stats agg (count/min/max/sum/avg) over the hits' turn_idx."""
+    from .operators.aggs import stats_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    out = stats_agg(hits, _transcript_attrs(spark), "turn_idx")
+    return out.select(
+        "query_id", "count", "min", "max", "sum", F.round("avg", 6).alias("avg")
+    )
 
 
 # ------------------------------------------------------- relational extras ---
@@ -2172,6 +2233,91 @@ WHERE r.rank <= q.k
 
 SQL_TRANSCRIPT_MULTI_MATCH = _multi_match_sql()
 
+
+def _agg_prefix_sql() -> str:
+    """Shared CTE prefix for the hit-aggregation oracles: the full BM25
+    ranked-hits pipeline as a nested subquery, the attribute scan, and the
+    hit-attribute join."""
+    path = os.path.join(
+        tempfile.gettempdir(), "ojs_transcript_oracle_v1.parquet"
+    )
+    return f"""
+WITH hits AS (
+{SQL_TRANSCRIPT_BM25}
+),
+attrs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT
+           AS doc_id, role, tool, ts, turn_idx
+  FROM read_parquet('{path}')
+),
+j AS (
+  SELECT h.query_id, a.role, a.tool, a.ts, a.turn_idx
+  FROM hits h JOIN attrs a USING (doc_id)
+)"""
+
+
+def _terms_agg_sql() -> str:
+    scans = " UNION ALL ".join(
+        f"SELECT query_id, '{f}' AS field, {f} AS key,"
+        f" count(*)::BIGINT AS doc_count FROM j"
+        f" WHERE {f} IS NOT NULL GROUP BY query_id, {f}"
+        for f in sorted(TERMS_AGG_SIZES)
+    )
+    cut = " ".join(
+        f"WHEN '{f}' THEN {s}" for f, s in sorted(TERMS_AGG_SIZES.items())
+    )
+    return f"""{_agg_prefix_sql()},
+counts AS ({scans}),
+rankedb AS (
+  SELECT query_id, field, key, doc_count,
+         row_number() OVER (
+           PARTITION BY query_id, field ORDER BY doc_count DESC, key ASC
+         ) AS rn
+  FROM counts
+)
+SELECT query_id, field, key, doc_count FROM rankedb
+WHERE rn <= (CASE field {cut} END)
+"""
+
+
+def _date_histogram_sql() -> str:
+    s = DATE_HISTOGRAM_INTERVAL_S
+    return f"""{_agg_prefix_sql()},
+b AS (
+  SELECT query_id, (epoch(ts)::BIGINT // {s}) * {s} AS bucket_ts FROM j
+),
+counts AS (
+  SELECT query_id, bucket_ts, count(*)::BIGINT AS doc_count
+  FROM b GROUP BY query_id, bucket_ts
+),
+bounds AS (
+  SELECT query_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM counts GROUP BY query_id
+),
+grid AS (
+  SELECT query_id, unnest(generate_series(lo, hi, {s})) AS bucket_ts
+  FROM bounds
+)
+SELECT g.query_id, g.bucket_ts,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM grid g LEFT JOIN counts c USING (query_id, bucket_ts)
+"""
+
+
+def _stats_agg_sql() -> str:
+    return f"""{_agg_prefix_sql()}
+SELECT query_id, count(*)::BIGINT AS count,
+       min(turn_idx)::DOUBLE AS min, max(turn_idx)::DOUBLE AS max,
+       sum(turn_idx)::DOUBLE AS sum,
+       round(avg(turn_idx::DOUBLE), 6) AS avg
+FROM j GROUP BY query_id
+"""
+
+
+SQL_TRANSCRIPT_TERMS_AGG = _terms_agg_sql()
+SQL_TRANSCRIPT_DATE_HISTOGRAM = _date_histogram_sql()
+SQL_TRANSCRIPT_STATS_AGG = _stats_agg_sql()
+
 def _ivf_trained_sql(
     metric: str,
     nprobe: int | None = None,
@@ -2431,6 +2577,9 @@ QUERIES = {
     "ann_ivf_filtered": q_ann_ivf_filtered,
     "transcript_bm25_indexed": q_transcript_bm25_indexed,
     "transcript_multi_match": q_transcript_multi_match,
+    "transcript_terms_agg": q_transcript_terms_agg,
+    "transcript_date_histogram": q_transcript_date_histogram,
+    "transcript_stats_agg": q_transcript_stats_agg,
     "topk_per_group": q_topk_per_group,
     "tpch_q1": q_tpch_q1,
     "sessionize": q_sessionize,
@@ -2489,7 +2638,27 @@ ORACLES = {
     "ann_ivf_filtered": SQL_ANN_IVF_FILTERED,
     "transcript_bm25_indexed": SQL_TRANSCRIPT_BM25,
     "transcript_multi_match": SQL_TRANSCRIPT_MULTI_MATCH,
+    "transcript_terms_agg": SQL_TRANSCRIPT_TERMS_AGG,
+    "transcript_date_histogram": SQL_TRANSCRIPT_DATE_HISTOGRAM,
+    "transcript_stats_agg": SQL_TRANSCRIPT_STATS_AGG,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "tpch_q1": SQL_TPCH_Q1,
     "sessionize": SQL_SESSIONIZE,
 }
+
+
+_CTE_DEF_RE = re.compile(r"(\w+\s+AS)\s*\(")
+
+
+def _materialize_ctes(sql: str) -> str:
+    """DuckDB planner hint, identical results: force every CTE to
+    materialize. Without it DuckDB inlines shared CTE subtrees and
+    mis-estimates the inlined joins (EC=6 on a 74k-row probe measured on
+    the transcript BM25 oracle -> a 69s hash join; materialized: 0.08s).
+    The only ` AS (` occurrences in this module's SQL are CTE definitions
+    (derived-table aliases are `) alias(cols)`, VALUES aliases
+    `v(cols)`), so the rewrite is purely mechanical."""
+    return _CTE_DEF_RE.sub(r"\1 MATERIALIZED (", sql)
+
+
+ORACLES = {name: _materialize_ctes(sql) for name, sql in ORACLES.items()}

@@ -1,0 +1,115 @@
+"""Search-hit aggregations — the OpenSearch aggs surface over a top-k result.
+
+The reference exposes its field data to OpenSearch's aggregation framework
+through doc values (KNNVectorIndexFieldData.java:1-60 builds the
+IndexFieldData the agg/scripting layer consumes; stored fields ride along
+the index via KNN80DocValuesConsumer). The serving analog here: the hit set
+of a query (query_id, doc_id, ...) is joined back to the corpus attributes
+and reduced per query — `terms`, `date_histogram`, and `stats` buckets with
+OpenSearch's documented semantics:
+
+- **terms**: one bucket per distinct field value among the hits, missing
+  (NULL) values skipped, ordered doc_count desc then key asc, top `size`
+  buckets per query.
+- **date_histogram** (fixed interval): bucket key = floor(ts / interval),
+  and `min_doc_count=0` gap-filling — every interval between a query's
+  first and last non-empty bucket is emitted, zeros included (the
+  OpenSearch default for histograms).
+- **stats**: count / min / max / sum / avg of a numeric field over the hits.
+
+Plan shape (scale-first): the hit set is ≤ Σ_q k_q rows — broadcast it into
+ONE scan of the corpus attributes (inner broadcast-hash join, no corpus
+shuffle); every aggregation after the join runs on hit-sized data, so the
+only exchanges are tiny. Gap-filling is a per-query `sequence()` explode on
+bucket bounds — pure Catalyst, rows ≤ buckets emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _hit_attrs(hits: DataFrame, attrs: DataFrame, cols: list[str]) -> DataFrame:
+    """(query_id, <cols>) — broadcast the tiny hit set into the attr scan."""
+    h = hits.select("query_id", "doc_id")
+    return attrs.select("doc_id", *cols).join(F.broadcast(h), "doc_id")
+
+
+def terms_agg(
+    hits: DataFrame, attrs: DataFrame, field: str, size: int
+) -> DataFrame:
+    """Per-query terms buckets: (query_id, key, doc_count), top `size` by
+    (doc_count desc, key asc), NULL field values skipped (OpenSearch
+    `missing`-less default)."""
+    if size <= 0:
+        raise ValueError(f"terms agg size must be positive, got {size}")
+    counts = (
+        _hit_attrs(hits, attrs, [field])
+        .where(F.col(field).isNotNull())
+        .groupBy("query_id", F.col(field).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("doc_count").desc(), F.col("key").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= size)
+        .select("query_id", "key", "doc_count")
+    )
+
+
+def date_histogram_agg(
+    hits: DataFrame,
+    attrs: DataFrame,
+    ts_col: str,
+    interval_s: int,
+) -> DataFrame:
+    """Per-query fixed-interval histogram: (query_id, bucket_ts, doc_count)
+    with bucket_ts = epoch-second bucket start and min_doc_count=0
+    gap-filling between each query's first and last occupied bucket."""
+    if interval_s <= 0:
+        raise ValueError(f"interval must be positive, got {interval_s}")
+    step = F.lit(int(interval_s)).cast("long")
+    bucketed = _hit_attrs(hits, attrs, [ts_col]).select(
+        "query_id",
+        (
+            F.floor(F.col(ts_col).cast("long") / step) * step
+        ).alias("bucket_ts"),
+    )
+    counts = bucketed.groupBy("query_id", "bucket_ts").agg(
+        F.count("*").alias("doc_count")
+    )
+    # Gap fill: per-query bucket range -> sequence -> left join counts.
+    # All hit-sized; the sequence length is bounded by the hit time span.
+    bounds = counts.groupBy("query_id").agg(
+        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    )
+    grid = bounds.select(
+        "query_id",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(
+            "bucket_ts"
+        ),
+    )
+    return grid.join(counts, ["query_id", "bucket_ts"], "left").select(
+        "query_id",
+        "bucket_ts",
+        F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+    )
+
+
+def stats_agg(hits: DataFrame, attrs: DataFrame, field: str) -> DataFrame:
+    """Per-query numeric stats over the hits:
+    (query_id, count, min, max, sum, avg) — NULLs excluded from all five,
+    matching OpenSearch's stats agg."""
+    vals = _hit_attrs(hits, attrs, [field]).where(F.col(field).isNotNull())
+    c = F.col(field).cast("double")
+    return vals.groupBy("query_id").agg(
+        F.count("*").alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("avg"),
+    )
