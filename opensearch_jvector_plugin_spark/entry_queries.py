@@ -95,6 +95,40 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+EXPLAIN_TOP_K = 3
+
+
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep pagination: page 2 of every entry query via the search_after
+    cursor protocol (operators/paginate.py) — the cursor is page 1's last
+    hit's (round-6 score, doc_id) sort values; page-local rank. Queries
+    whose page 1 came back short yield no cursor and no rows."""
+    from .operators.paginate import page_cursors, search_after
+
+    docs = _docs(spark, sf_dir)
+    queries = _queries_df(spark)
+    scored = score_all(docs, queries)
+    ks = queries.select("query_id", F.col("k").alias("_k"))
+    page1 = _rank_rounded(scored, ks)
+    return search_after(scored, page_cursors(page1, ks))
+
+
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The _explain API: per-term BM25 breakdown (tf, dl, df, idf,
+    contribution) of each entry query's top-3 hits; the contrib sum over a
+    (query, doc) group is exactly the hit score (operators/explain.py)."""
+    from .operators.explain import explain_hits
+
+    docs = _docs(spark, sf_dir)
+    queries = _queries_df(spark)
+    scored = score_all(docs, queries)
+    ks3 = queries.select(
+        "query_id", F.lit(EXPLAIN_TOP_K).cast("long").alias("_k")
+    )
+    hits = _rank_rounded(scored, ks3).select("query_id", "doc_id")
+    return explain_hits(docs, queries, hits)
+
+
 _INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1185,6 +1219,47 @@ WHERE r.rank <= q.k
 """
 
 SQL_BM25_TOPK = "WITH " + _bm25_ctes() + _BM25_SELECT
+
+# Page 2 under the identical total order: global ranks (k, 2k], page-local
+# rank = global - k. The cursor-cut + re-window Spark path must land on
+# exactly this set — that equivalence is the correctness claim.
+SQL_BM25_SEARCH_AFTER = (
+    "WITH "
+    + _bm25_ctes()
+    + """
+SELECT r.query_id, (r.rank - q.k)::INT AS rank, r.doc_id, r.score
+FROM ranked r JOIN q ON r.query_id = q.query_id
+WHERE r.rank > q.k AND r.rank <= 2 * q.k
+"""
+)
+
+
+def _explain_sql() -> str:
+    idf = "ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+    return (
+        "WITH "
+        + _bm25_ctes()
+        + f""",
+hits AS (
+  SELECT r.query_id, r.doc_id FROM ranked r WHERE r.rank <= {EXPLAIN_TOP_K}
+)
+SELECT h.query_id, h.doc_id, qt.term, tf.tf::BIGINT AS tf,
+       doclen.dl::BIGINT AS dl, dfreq.df,
+       round({idf}, 6) AS idf,
+       round(qt.qtf * {idf}
+             * {bm25_tf_norm_sql('tf.tf', 'doclen.dl', 's.avgdl')}, 6
+       ) AS contrib
+FROM hits h
+JOIN qt ON qt.query_id = h.query_id
+JOIN tf ON tf.term = qt.term AND tf.doc_id = h.doc_id
+JOIN dfreq ON dfreq.term = qt.term
+JOIN doclen ON doclen.doc_id = h.doc_id
+CROSS JOIN stats s
+"""
+    )
+
+
+SQL_BM25_EXPLAIN = _explain_sql()
 
 def _minscore_sql() -> str:
     rows = ", ".join(f"({q}, {ms})" for q, t, ms in MINSCORE_QUERIES)
@@ -2531,6 +2606,8 @@ FROM s GROUP BY user_id, session_id
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "bm25_search_after": q_bm25_search_after,
+    "bm25_explain": q_bm25_explain,
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_minscore": q_bm25_minscore,
@@ -2587,6 +2664,8 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_search_after": SQL_BM25_SEARCH_AFTER,
+    "bm25_explain": SQL_BM25_EXPLAIN,
     "bm25_topk_indexed": SQL_BM25_TOPK,  # same contract, index-served
     "bm25_topk_filtered": SQL_BM25_FILTERED,
     "bm25_minscore": SQL_BM25_MINSCORE,
