@@ -96,6 +96,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXPLAIN_TOP_K = 3
+MLT_SEEDS: list[tuple[int, int]] = [(0, 0), (1, 7), (2, 42), (3, 123)]
+MLT_K = 10
+
+
+def q_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this: per-seed interesting-term selection (Lucene MLT
+    defaults min_term_freq=2, min_doc_freq=5, max_query_terms=25) feeding
+    the BM25 scorer, seed doc excluded (operators/morelikethis.py).
+    Seed 7 is the planted-rare-term document."""
+    from .operators.morelikethis import more_like_this
+
+    docs = _docs(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        MLT_SEEDS, "query_id INT, seed_doc_id LONG"
+    )
+    scored = more_like_this(docs, seeds)
+    ks = spark.createDataFrame(
+        [(q, MLT_K) for q, _s in MLT_SEEDS], "query_id INT, _k LONG"
+    )
+    return _rank_rounded(scored, ks)
 
 
 def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1260,6 +1280,77 @@ CROSS JOIN stats s
 
 
 SQL_BM25_EXPLAIN = _explain_sql()
+
+
+def _mlt_sql() -> str:
+    seeds = ", ".join(f"({q}, {s})" for q, s in MLT_SEEDS)
+    idf = "ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+    return f"""
+WITH corpus AS (
+  {_DOCS_CORPUS_SQL}
+),
+doclen AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM corpus),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+seeds AS (SELECT * FROM (VALUES {seeds}) s(query_id, seed_doc_id)),
+selw AS (
+  SELECT s.query_id, tf.term, {idf} AS idf,
+         round(tf.tf * {idf}, 6) AS wsel
+  FROM seeds s
+  JOIN tf ON tf.doc_id = s.seed_doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN stats st
+  WHERE tf.tf >= 2 AND dfreq.df >= 5
+),
+sel AS (
+  SELECT query_id, term, idf FROM (
+    SELECT query_id, term, idf,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY wsel DESC, term ASC
+           ) AS rn
+    FROM selw
+  ) WHERE rn <= 25
+),
+scoredm AS (
+  SELECT sel.query_id, tf.doc_id,
+         sum(sel.idf
+             * {bm25_tf_norm_sql('tf.tf', 'doclen.dl', 'st.avgdl')}
+         ) AS score
+  FROM sel
+  JOIN tf USING (term)
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  GROUP BY sel.query_id, tf.doc_id
+),
+filt AS (
+  SELECT sc.query_id, sc.doc_id, sc.score FROM scoredm sc
+  LEFT JOIN seeds s
+    ON s.query_id = sc.query_id AND s.seed_doc_id = sc.doc_id
+  WHERE s.seed_doc_id IS NULL
+),
+rankedm AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM filt
+)
+SELECT query_id, rank::INT AS rank, doc_id, score
+FROM rankedm WHERE rank <= {MLT_K}
+"""
+
+
+SQL_BM25_MLT = _mlt_sql()
 
 def _minscore_sql() -> str:
     rows = ", ".join(f"({q}, {ms})" for q, t, ms in MINSCORE_QUERIES)
@@ -2608,6 +2699,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_search_after": q_bm25_search_after,
     "bm25_explain": q_bm25_explain,
+    "bm25_mlt": q_bm25_mlt,
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_minscore": q_bm25_minscore,
@@ -2666,6 +2758,7 @@ ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_search_after": SQL_BM25_SEARCH_AFTER,
     "bm25_explain": SQL_BM25_EXPLAIN,
+    "bm25_mlt": SQL_BM25_MLT,
     "bm25_topk_indexed": SQL_BM25_TOPK,  # same contract, index-served
     "bm25_topk_filtered": SQL_BM25_FILTERED,
     "bm25_minscore": SQL_BM25_MINSCORE,
