@@ -1048,6 +1048,111 @@ def q_transcript_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+def _transcript_corpus_scored(spark: SparkSession):
+    """(corpus with doc_id, full scored relation, query pdf) — the shared
+    front half of the collapse / function_score queries: exact BM25 over
+    the transcript corpus on the reference query set."""
+    from .plans.docids import assign_doc_ids
+    from .sources.transcripts import reference_queries, synthesize_transcripts
+
+    corpus = assign_doc_ids(
+        synthesize_transcripts(spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS),
+        ["conv_id", "turn_idx"],
+    )
+    qpdf = reference_queries(_TRANSCRIPT_N_CONVS * _TRANSCRIPT_TURNS)
+    qdf = spark.createDataFrame(qpdf)
+    return corpus, score_all(corpus, qdf), qpdf
+
+
+def q_transcript_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch `collapse`: one best turn per conversation, then the
+    normal top-k cut over the collapsed stream (operators/collapse.py).
+    Consumes the FULL scored relation — collapsing after the raw top-k cut
+    would drop conversations whose best turn sits below it."""
+    from .operators.collapse import collapse_best_hits
+
+    corpus, scored, qpdf = _transcript_corpus_scored(spark)
+    best = collapse_best_hits(
+        scored, corpus.select("doc_id", "conv_id"), "conv_id"
+    )
+    ks = spark.createDataFrame(
+        [(int(q), int(k)) for q, _t, k in qpdf.itertuples(index=False)],
+        "query_id INT, _k LONG",
+    )
+    s6 = F.round(F.col("score"), 6)
+    w = W.partitionBy("query_id").orderBy(s6.desc(), F.asc("doc_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(ks), "query_id")
+        .where(F.col("rank") <= F.col("_k"))
+        .select("query_id", "rank", "doc_id", s6.alias("score"), "conv_id")
+    )
+
+
+FVF_FIELD = "turn_idx"
+FVF_MODIFIER = "ln2p"
+FVF_FACTOR = 1.0
+
+
+def q_transcript_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score / field_value_factor: score × ln(2 + turn_idx)
+    (modifier ln2p, boost_mode multiply) applied to the full scored
+    relation BEFORE ranking — later turns outrank equally-relevant early
+    turns (operators/collapse.py)."""
+    from .operators.collapse import field_value_factor
+
+    corpus, scored, qpdf = _transcript_corpus_scored(spark)
+    boosted = field_value_factor(
+        scored,
+        corpus.select("doc_id", FVF_FIELD),
+        FVF_FIELD,
+        factor=FVF_FACTOR,
+        modifier=FVF_MODIFIER,
+    )
+    ks = spark.createDataFrame(
+        [(int(q), int(k)) for q, _t, k in qpdf.itertuples(index=False)],
+        "query_id INT, _k LONG",
+    )
+    return _rank_rounded(boosted, ks)
+
+
+SIG_TERMS_SIZE = 10
+SIG_TERMS_MIN_DOC_COUNT = 3
+
+
+def q_transcript_significant_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """significant_terms aggregation (JLH) over the transcript BM25 hit
+    set: foreground = each query's hits, background = the whole corpus
+    (operators/aggs.py)."""
+    from .operators.aggs import significant_terms_agg
+    from .plans.docids import assign_doc_ids
+    from .plans.stats import corpus_stats, postings_df
+    from .sources.transcripts import synthesize_transcripts
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    corpus = assign_doc_ids(
+        synthesize_transcripts(spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS),
+        ["conv_id", "turn_idx"],
+    )
+    postings = postings_df(corpus).persist()
+    term_df = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    stats = corpus_stats(corpus)
+    out = significant_terms_agg(
+        hits,
+        postings,
+        term_df,
+        float(stats.n_docs),
+        size=SIG_TERMS_SIZE,
+        min_doc_count=SIG_TERMS_MIN_DOC_COUNT,
+    )
+    out._ojs_persisted = postings
+    return out
+
+
 # ------------------------------------------------- search-hit aggregations ---
 
 TERMS_AGG_SIZES = {"tool": 2, "role": 3}  # tool has 3 non-null values: cut bites
@@ -2400,6 +2505,139 @@ WHERE r.rank <= q.k
 SQL_TRANSCRIPT_MULTI_MATCH = _multi_match_sql()
 
 
+def _transcript_scored_ctes() -> str:
+    """The transcript BM25 CTE pipeline with conv_id/turn_idx kept on the
+    corpus CTE — shared by the collapse / function_score oracles."""
+    from .sources.transcripts import reference_queries
+
+    qpdf = reference_queries(_TRANSCRIPT_N_CONVS * _TRANSCRIPT_TURNS)
+    queries = [
+        (int(r.query_id), r.query_text, int(r.k))
+        for r in qpdf.itertuples(index=False)
+    ]
+    path = os.path.join(
+        tempfile.gettempdir(), "ojs_transcript_oracle_v1.parquet"
+    )
+    corpus_sql = (
+        "SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT"
+        f" AS doc_id, conv_id, turn_idx, {TOKS} AS toks"
+        f" FROM read_parquet('{path}')"
+    )
+    return "WITH " + _bm25_ctes(corpus_sql=corpus_sql, queries=queries)
+
+
+def _collapse_sql() -> str:
+    return f"""{_transcript_scored_ctes()},
+withkey AS (
+  SELECT s.query_id, s.doc_id, s.score, c.conv_id
+  FROM scored s JOIN corpus c USING (doc_id)
+),
+best AS (
+  SELECT query_id, doc_id, score, conv_id FROM (
+    SELECT query_id, doc_id, score, conv_id,
+           row_number() OVER (
+             PARTITION BY query_id, conv_id
+             ORDER BY round(score, 6) DESC, doc_id ASC
+           ) AS rn
+    FROM withkey
+  ) WHERE rn = 1
+),
+rankedc AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score, conv_id
+  FROM best
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score, r.conv_id
+FROM rankedc r JOIN q ON r.query_id = q.query_id
+WHERE r.rank <= q.k
+"""
+
+
+SQL_TRANSCRIPT_COLLAPSE = _collapse_sql()
+
+
+def _function_score_sql() -> str:
+    return f"""{_transcript_scored_ctes()},
+fs AS (
+  SELECT s.query_id, s.doc_id,
+         s.score * ln(2.0 + {FVF_FACTOR} * c.turn_idx) AS score
+  FROM scored s JOIN corpus c USING (doc_id)
+),
+rankedf AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM fs
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM rankedf r JOIN q ON r.query_id = q.query_id
+WHERE r.rank <= q.k
+"""
+
+
+SQL_TRANSCRIPT_FUNCTION_SCORE = _function_score_sql()
+
+
+def _significant_terms_sql() -> str:
+    path = os.path.join(
+        tempfile.gettempdir(), "ojs_transcript_oracle_v1.parquet"
+    )
+    mdc = SIG_TERMS_MIN_DOC_COUNT
+    return f"""
+WITH hits AS (
+{SQL_TRANSCRIPT_BM25}
+),
+corpus AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT
+           AS doc_id, {TOKS} AS toks
+  FROM read_parquet('{path}')
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM corpus),
+fg AS (
+  SELECT h.query_id, t.term, count(*)::BIGINT AS doc_count
+  FROM hits h JOIN tf t ON t.doc_id = h.doc_id
+  GROUP BY h.query_id, t.term
+),
+fgt AS (
+  SELECT query_id, count(*)::DOUBLE AS fg_total FROM hits GROUP BY query_id
+),
+sc AS (
+  SELECT fg.query_id, fg.term, fg.doc_count, d.df AS bg_count,
+         ((fg.doc_count / t.fg_total) - (d.df / s.n_docs))
+         * ((fg.doc_count / t.fg_total) / (d.df / s.n_docs)) AS score
+  FROM fg
+  JOIN dfreq d USING (term)
+  JOIN fgt t USING (query_id)
+  CROSS JOIN stats s
+  WHERE fg.doc_count >= {mdc}
+    AND (fg.doc_count / t.fg_total) > (d.df / s.n_docs)
+),
+rankeds AS (
+  SELECT query_id, term, doc_count, bg_count, round(score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, term ASC
+         ) AS rn
+  FROM sc
+)
+SELECT query_id, term, doc_count, bg_count, score
+FROM rankeds WHERE rn <= {SIG_TERMS_SIZE}
+"""
+
+
+SQL_TRANSCRIPT_SIGNIFICANT_TERMS = _significant_terms_sql()
+
+
 def _agg_prefix_sql() -> str:
     """Shared CTE prefix for the hit-aggregation oracles: the full BM25
     ranked-hits pipeline as a nested subquery, the attribute scan, and the
@@ -2746,6 +2984,9 @@ QUERIES = {
     "ann_ivf_filtered": q_ann_ivf_filtered,
     "transcript_bm25_indexed": q_transcript_bm25_indexed,
     "transcript_multi_match": q_transcript_multi_match,
+    "transcript_collapse": q_transcript_collapse,
+    "transcript_function_score": q_transcript_function_score,
+    "transcript_significant_terms": q_transcript_significant_terms,
     "transcript_terms_agg": q_transcript_terms_agg,
     "transcript_date_histogram": q_transcript_date_histogram,
     "transcript_stats_agg": q_transcript_stats_agg,
@@ -2810,6 +3051,9 @@ ORACLES = {
     "ann_ivf_filtered": SQL_ANN_IVF_FILTERED,
     "transcript_bm25_indexed": SQL_TRANSCRIPT_BM25,
     "transcript_multi_match": SQL_TRANSCRIPT_MULTI_MATCH,
+    "transcript_collapse": SQL_TRANSCRIPT_COLLAPSE,
+    "transcript_function_score": SQL_TRANSCRIPT_FUNCTION_SCORE,
+    "transcript_significant_terms": SQL_TRANSCRIPT_SIGNIFICANT_TERMS,
     "transcript_terms_agg": SQL_TRANSCRIPT_TERMS_AGG,
     "transcript_date_histogram": SQL_TRANSCRIPT_DATE_HISTOGRAM,
     "transcript_stats_agg": SQL_TRANSCRIPT_STATS_AGG,

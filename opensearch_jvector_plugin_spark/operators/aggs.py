@@ -100,6 +100,67 @@ def date_histogram_agg(
     )
 
 
+def significant_terms_agg(
+    hits: DataFrame,
+    postings: DataFrame,
+    term_df: DataFrame,
+    n_docs: float,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """OpenSearch significant_terms over the hit set, JLH heuristic:
+    (query_id, term, doc_count, bg_count, score).
+
+    Foreground = the query's hit docs, background = the whole corpus.
+    With fg_pct = doc_count / |hits_q| and bg_pct = bg_count / n_docs,
+    JLH = (fg_pct - bg_pct) * (fg_pct / bg_pct), kept only when
+    fg_pct > bg_pct (terms no more frequent in the hits than the corpus
+    score 0 and are dropped) and doc_count >= min_doc_count (the
+    OpenSearch default 3). Top `size` per query by (round-6 score desc,
+    term asc).
+
+    Plan shape: the hit set (≤ Σk rows) is broadcast into the shared
+    postings derivation — ONE corpus-sized scan; the foreground counts,
+    the df join (foreground term set is hit-sized, so the join output is
+    too), and the ranking all run on hit-sized data.
+    """
+    if size <= 0:
+        raise ValueError(f"significant_terms size must be positive: {size}")
+    h = hits.select("query_id", "doc_id")
+    fg = (
+        postings.select("doc_id", "term")
+        .join(F.broadcast(h), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+    )
+    fg_tot = h.groupBy("query_id").agg(
+        F.count("*").cast("double").alias("_fg_total")
+    )
+    fg_pct = F.col("doc_count") / F.col("_fg_total")
+    bg_pct = F.col("bg_count") / F.lit(float(n_docs))
+    scored = (
+        fg.where(F.col("doc_count") >= min_doc_count)
+        .join(term_df.select("term", F.col("df").alias("bg_count")), "term")
+        .join(F.broadcast(fg_tot), "query_id")
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .where(fg_pct > bg_pct)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= size)
+        .select(
+            "query_id",
+            "term",
+            "doc_count",
+            "bg_count",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 def stats_agg(hits: DataFrame, attrs: DataFrame, field: str) -> DataFrame:
     """Per-query numeric stats over the hits:
     (query_id, count, min, max, sum, avg) — NULLs excluded from all five,
