@@ -118,6 +118,78 @@ def q_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+# (query_id, primary match text, rescore phrase, k). Query 0's k exceeds
+# the window so the below-window tail (primary order, primary scores) is
+# part of the gradeable record; query 3's phrase matches nothing, so its
+# window re-sorts by query_weight * primary alone.
+RESCORE_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "table scan fast", "table scan", 40),
+    (1, "sort merge batch", "sort merge", 10),
+    (2, "data key order", "data data", 10),
+    (3, "merge order", "merge zzznotaword", 10),
+]
+RESCORE_WINDOW = 30
+RESCORE_QUERY_WEIGHT = 0.7
+RESCORE_RESCORE_WEIGHT = 1.5
+
+
+def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch `rescore` (score_mode=total): phrase-rerank the top-30
+    primary window at query_weight 0.7 / rescore_query_weight 1.5; tail
+    hits keep primary order and scores (operators/rescorer.py)."""
+    import pandas as pd
+
+    from .operators.rescorer import query_rescore, rescored_topk
+
+    docs = _docs(spark, sf_dir)
+    primary_qdf = spark.createDataFrame(
+        [(q, t, k) for q, t, _p, k in RESCORE_QUERIES],
+        "query_id INT, query_text STRING, k LONG",
+    )
+    phrase_pdf = pd.DataFrame(
+        [(q, p, k) for q, _t, p, k in RESCORE_QUERIES],
+        columns=["query_id", "query_text", "k"],
+    )
+    rescored = query_rescore(
+        score_all(docs, primary_qdf),
+        phrase_scores(docs, phrase_pdf),
+        RESCORE_WINDOW,
+        query_weight=RESCORE_QUERY_WEIGHT,
+        rescore_query_weight=RESCORE_RESCORE_WEIGHT,
+    )
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, _p, k in RESCORE_QUERIES], "query_id INT, _k LONG"
+    )
+    return rescored_topk(rescored, ks)
+
+
+SUGGEST_QUERIES: list[tuple[int, str]] = [
+    (0, "tabel scna"),  # two misspellings of dictionary terms
+    (1, "mergee"),  # one-edit miss
+    (2, "data"),  # in-dictionary -> suggest_mode=missing emits nothing
+    (3, "qqqqqqqq"),  # no candidate within 2 edits
+]
+SUGGEST_SIZE = 3
+
+
+def q_bm25_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term suggester (DirectSpellChecker analog): per missing query token,
+    top-3 dictionary corrections by (similarity, df, term)
+    (operators/suggest.py)."""
+    from .operators.suggest import term_suggest
+
+    postings = postings_df(_docs(spark, sf_dir)).persist()
+    term_df = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    qdf = spark.createDataFrame(
+        SUGGEST_QUERIES, "query_id INT, query_text STRING"
+    )
+    out = term_suggest(term_df, qdf, size=SUGGEST_SIZE)
+    out._ojs_persisted = postings
+    return out
+
+
 def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep pagination: page 2 of every entry query via the search_after
     cursor protocol (operators/paginate.py) — the cursor is page 1's last
@@ -1457,6 +1529,121 @@ FROM rankedm WHERE rank <= {MLT_K}
 
 SQL_BM25_MLT = _mlt_sql()
 
+
+def _rescore_sql() -> str:
+    primary = [(q, t, k) for q, t, _p, k in RESCORE_QUERIES]
+    pf_parts, whens = [], []
+    for qid, _t, ptext, _k in RESCORE_QUERIES:
+        terms = tokenize_text(ptext)
+        n = len(terms)
+        cond = " AND ".join(
+            f"toks[i+{j}] = '{t}'" if j else f"toks[i] = '{t}'"
+            for j, t in enumerate(terms)
+        )
+        pf = f"len(list_filter(range(1, len(toks) - {n} + 2), i -> {cond}))"
+        pf_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, len(toks)::BIGINT AS dl,"
+            f" {pf}::BIGINT AS pf FROM corpus"
+        )
+        whens.append(f"WHEN {qid} THEN ({_phrase_idf_sql(terms)})")
+    tf_norm = bm25_tf_norm_sql("p.pf", "p.dl", "s.avgdl")
+    qw, rw, win = (
+        RESCORE_QUERY_WEIGHT,
+        RESCORE_RESCORE_WEIGHT,
+        RESCORE_WINDOW,
+    )
+    return f"""WITH {_bm25_ctes(queries=primary)},
+pf AS (
+  {" UNION ALL ".join(pf_parts)}
+),
+sec AS (
+  SELECT p.query_id, p.doc_id,
+         (CASE p.query_id {" ".join(whens)} END) * {tf_norm} AS s2
+  FROM pf p CROSS JOIN stats s
+  WHERE p.pf > 0
+),
+prn AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS prn
+  FROM scored
+),
+comb AS (
+  SELECT p.query_id, p.doc_id,
+         CASE WHEN p.prn <= {win}
+              THEN {qw} * p.score + {rw} * coalesce(s.s2, 0.0)
+              ELSE p.score END AS score,
+         (p.prn <= {win}) AS in_window
+  FROM prn p
+  LEFT JOIN sec s ON s.query_id = p.query_id AND s.doc_id = p.doc_id
+),
+rankedr AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY in_window DESC, round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM comb
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM rankedr r JOIN q ON r.query_id = q.query_id
+WHERE r.rank <= q.k
+"""
+
+
+def _suggest_sql() -> str:
+    rows = ", ".join(f"({q}, '{t}')" for q, t in SUGGEST_QUERIES)
+    return f"""
+WITH corpus AS (
+  {_DOCS_CORPUS_SQL}
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES {rows}) q(query_id, query_text)),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS qterm
+  FROM q
+),
+missing AS (
+  SELECT qt.query_id, qt.qterm
+  FROM qt LEFT JOIN dfreq d ON d.term = qt.qterm
+  WHERE d.term IS NULL
+),
+cand AS (
+  SELECT m.query_id, m.qterm AS term, d.term AS suggestion, d.df,
+         round(
+           1.0 - levenshtein(m.qterm, d.term)::DOUBLE
+                 / greatest(length(m.qterm), length(d.term)),
+           6
+         ) AS score
+  FROM missing m
+  JOIN dfreq d
+    ON substr(d.term, 1, 1) = substr(m.qterm, 1, 1)
+   AND levenshtein(m.qterm, d.term) <= 2
+   AND d.term <> m.qterm
+),
+rankedsug AS (
+  SELECT query_id, term, suggestion, df, score,
+         row_number() OVER (
+           PARTITION BY query_id, term
+           ORDER BY score DESC, df DESC, suggestion ASC
+         ) AS rn
+  FROM cand
+)
+SELECT query_id, term, suggestion, df, score
+FROM rankedsug WHERE rn <= {SUGGEST_SIZE}
+"""
+
+
+SQL_BM25_SUGGEST = _suggest_sql()
+
 def _minscore_sql() -> str:
     rows = ", ".join(f"({q}, {ms})" for q, t, ms in MINSCORE_QUERIES)
     # Reuse the bm25 CTE pipeline but with the radial query texts.
@@ -1490,6 +1677,11 @@ def _phrase_idf_sql(terms: list[str]) -> str:
         df = f"(SELECT count(*) FROM corpus WHERE list_contains(toks, '{t}'))"
         parts.append(f"ln(1.0 + (s.n_docs - {df} + 0.5) / ({df} + 0.5))")
     return " + ".join(parts)  # left-associative, same as the Column chain
+
+
+# Deferred below _phrase_idf_sql, which the rescore oracle's secondary
+# phrase scorer shares with SQL_BM25_PHRASE.
+SQL_BM25_RESCORE = _rescore_sql()
 
 
 def _phrase_sql() -> str:
@@ -2938,6 +3130,8 @@ QUERIES = {
     "bm25_search_after": q_bm25_search_after,
     "bm25_explain": q_bm25_explain,
     "bm25_mlt": q_bm25_mlt,
+    "bm25_rescore": q_bm25_rescore,
+    "bm25_suggest": q_bm25_suggest,
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_minscore": q_bm25_minscore,
@@ -3000,6 +3194,8 @@ ORACLES = {
     "bm25_search_after": SQL_BM25_SEARCH_AFTER,
     "bm25_explain": SQL_BM25_EXPLAIN,
     "bm25_mlt": SQL_BM25_MLT,
+    "bm25_rescore": SQL_BM25_RESCORE,
+    "bm25_suggest": SQL_BM25_SUGGEST,
     "bm25_topk_indexed": SQL_BM25_TOPK,  # same contract, index-served
     "bm25_topk_filtered": SQL_BM25_FILTERED,
     "bm25_minscore": SQL_BM25_MINSCORE,
