@@ -510,6 +510,37 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+# (query_id, positive, negative, negative_boost, k): a demoting common
+# negative, an OOV negative (identity), negative == positive (uniform
+# demote — ranks stable, scores scaled), a two-term negative.
+BOOSTING_QUERIES: list[tuple[int, str, str, float, int]] = [
+    (0, "spark join", "merge", 0.3, 10),
+    (1, "window merge batch", "zzznotaword", 0.5, 10),
+    (2, "data data", "data", 0.1, 12),
+    (3, "group order sort", "filter stream", 0.4, 10),
+]
+
+
+def q_bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`boosting` query (Lucene BoostingQuery): positive clause scored
+    normally, hits also matching the negative clause demoted to
+    score × negative_boost — never removed
+    (operators/phrase.boosting_scores)."""
+    from .operators.phrase import boosting_scores
+
+    bq = spark.createDataFrame(
+        [(q, p, n, b) for q, p, n, b, _k in BOOSTING_QUERIES],
+        "query_id INT, positive_text STRING, negative_text STRING,"
+        " negative_boost DOUBLE",
+    )
+    scored = boosting_scores(_docs(spark, sf_dir), bq)
+    ks = spark.createDataFrame(
+        [(q, k) for q, _p, _n, _b, k in BOOSTING_QUERIES],
+        "query_id INT, _k LONG",
+    )
+    return _rank_rounded(scored, ks)
+
+
 # Wildcard query set (one pattern per query): wide `s*` expansion, a
 # `?` single-char hole, a suffix match, a literal pattern (degenerates to
 # exact term equality), an unmatched pattern (empty).
@@ -1188,6 +1219,45 @@ def q_transcript_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(boosted, ks)
 
 
+# Recency decay over the transcript ts field: origin just past the last
+# conversation, gauss reaching 0.5 at 50 conversations back, first hour
+# free (offset). Constants shared verbatim with the SQL oracle.
+DECAY_FN = "gauss"
+DECAY_ORIGIN = float(1_704_067_200 + 150 * 3600)
+DECAY_SCALE = 50 * 3600.0
+DECAY_OFFSET = 3600.0
+DECAY_DECAY = 0.5
+
+
+def q_transcript_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score gauss decay on the hit timestamp (recency boost):
+    score × exp(-dist²/(2σ²)) with σ² pinned so the factor is exactly
+    `decay` one `scale` past the offset — applied to the full scored
+    relation BEFORE ranking (operators/collapse.py decay_score; the
+    OpenSearch DecayFunctionBuilder numeric form)."""
+    from .operators.collapse import decay_score
+
+    corpus, scored, qpdf = _transcript_corpus_scored(spark)
+    attrs = corpus.select(
+        "doc_id", F.col("ts").cast("long").cast("double").alias("ts_s")
+    )
+    boosted = decay_score(
+        scored,
+        attrs,
+        "ts_s",
+        DECAY_FN,
+        DECAY_ORIGIN,
+        DECAY_SCALE,
+        offset=DECAY_OFFSET,
+        decay=DECAY_DECAY,
+    )
+    ks = spark.createDataFrame(
+        [(int(q), int(k)) for q, _t, k in qpdf.itertuples(index=False)],
+        "query_id INT, _k LONG",
+    )
+    return _rank_rounded(boosted, ks)
+
+
 SIG_TERMS_SIZE = 10
 SIG_TERMS_MIN_DOC_COUNT = 3
 
@@ -1282,6 +1352,22 @@ def q_transcript_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stats_agg(hits, _transcript_attrs(spark), "turn_idx")
     return out.select(
         "query_id", "count", "min", "max", "sum", F.round("avg", 6).alias("avg")
+    )
+
+
+TOP_HITS_FIELD = "tool"
+TOP_HITS_SIZE = 2
+
+
+def q_transcript_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_hits sub-aggregation under a terms bucketing on `tool`: per
+    (query, tool) bucket the 2 best hits by (round-6 score desc, doc_id
+    asc); NULL tools form no bucket (operators/aggs.py top_hits_agg)."""
+    from .operators.aggs import top_hits_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    return top_hits_agg(
+        hits, _transcript_attrs(spark), TOP_HITS_FIELD, TOP_HITS_SIZE
     )
 
 
@@ -1643,6 +1729,50 @@ FROM rankedsug WHERE rn <= {SUGGEST_SIZE}
 
 
 SQL_BM25_SUGGEST = _suggest_sql()
+
+
+def _boosting_sql() -> str:
+    pos = [(q, p, k) for q, p, _n, _b, k in BOOSTING_QUERIES]
+    negs = []
+    for q, _p, ntext, _b, _k in BOOSTING_QUERIES:
+        terms = tokenize_text(ntext)
+        if not terms:
+            continue
+        cond = " OR ".join(f"list_contains(toks, '{t}')" for t in terms)
+        negs.append(
+            f"SELECT {q} AS query_id, doc_id FROM corpus WHERE {cond}"
+        )
+    nb_rows = ", ".join(
+        f"({q}, {b})" for q, _p, _n, b, _k in BOOSTING_QUERIES
+    )
+    return f"""WITH {_bm25_ctes(queries=pos)},
+neg AS (
+  {" UNION ALL ".join(negs)}
+),
+nb AS (SELECT * FROM (VALUES {nb_rows}) nb(query_id, nbst)),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN s.score * b.nbst
+              ELSE s.score END AS score
+  FROM scored s
+  JOIN nb b ON b.query_id = s.query_id
+  LEFT JOIN neg n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+),
+rankedbq AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM boosted
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM rankedbq r JOIN q ON r.query_id = q.query_id
+WHERE r.rank <= q.k
+"""
+
+
+SQL_BM25_BOOSTING = _boosting_sql()
 
 def _minscore_sql() -> str:
     rows = ", ".join(f"({q}, {ms})" for q, t, ms in MINSCORE_QUERIES)
@@ -2712,7 +2842,7 @@ def _transcript_scored_ctes() -> str:
     )
     corpus_sql = (
         "SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT"
-        f" AS doc_id, conv_id, turn_idx, {TOKS} AS toks"
+        f" AS doc_id, conv_id, turn_idx, ts, {TOKS} AS toks"
         f" FROM read_parquet('{path}')"
     )
     return "WITH " + _bm25_ctes(corpus_sql=corpus_sql, queries=queries)
@@ -2773,6 +2903,41 @@ WHERE r.rank <= q.k
 
 
 SQL_TRANSCRIPT_FUNCTION_SCORE = _function_score_sql()
+
+
+def _decay_sql() -> str:
+    """Gauss decay twin: 2σ² computed by the SAME Python arithmetic
+    decay_score uses (sigma_sq = -scale²/(2·ln decay), literal = 2·sigma_sq)
+    so the constant folded into both engines is bit-identical."""
+    import math
+
+    sigma_sq = -(DECAY_SCALE * DECAY_SCALE) / (2.0 * math.log(DECAY_DECAY))
+    two_ss = repr(2.0 * sigma_sq)
+    dist = (
+        f"greatest(0.0, abs(epoch(c.ts)::DOUBLE - {repr(DECAY_ORIGIN)})"
+        f" - {repr(DECAY_OFFSET)})"
+    )
+    return f"""{_transcript_scored_ctes()},
+fs AS (
+  SELECT s.query_id, s.doc_id,
+         s.score * exp(-(({dist}) * ({dist})) / {two_ss}) AS score
+  FROM scored s JOIN corpus c USING (doc_id)
+),
+rankedd AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM fs
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM rankedd r JOIN q ON r.query_id = q.query_id
+WHERE r.rank <= q.k
+"""
+
+
+SQL_TRANSCRIPT_DECAY = _decay_sql()
 
 
 def _significant_terms_sql() -> str:
@@ -2910,9 +3075,42 @@ FROM j GROUP BY query_id
 """
 
 
+def _top_hits_sql() -> str:
+    path = os.path.join(
+        tempfile.gettempdir(), "ojs_transcript_oracle_v1.parquet"
+    )
+    return f"""
+WITH hits AS (
+{SQL_TRANSCRIPT_BM25}
+),
+attrs AS (
+  SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT
+           AS doc_id, {TOP_HITS_FIELD} AS key
+  FROM read_parquet('{path}')
+),
+j AS (
+  SELECT h.query_id, a.key, h.doc_id, h.score
+  FROM hits h JOIN attrs a USING (doc_id)
+  WHERE a.key IS NOT NULL
+),
+rankedh AS (
+  SELECT query_id, key, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id, key
+           ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS hit_rank
+  FROM j
+)
+SELECT query_id, key, hit_rank::INT AS hit_rank, doc_id,
+       round(score, 6) AS score
+FROM rankedh WHERE hit_rank <= {TOP_HITS_SIZE}
+"""
+
+
 SQL_TRANSCRIPT_TERMS_AGG = _terms_agg_sql()
 SQL_TRANSCRIPT_DATE_HISTOGRAM = _date_histogram_sql()
 SQL_TRANSCRIPT_STATS_AGG = _stats_agg_sql()
+SQL_TRANSCRIPT_TOP_HITS = _top_hits_sql()
 
 def _ivf_trained_sql(
     metric: str,
@@ -3132,6 +3330,7 @@ QUERIES = {
     "bm25_mlt": q_bm25_mlt,
     "bm25_rescore": q_bm25_rescore,
     "bm25_suggest": q_bm25_suggest,
+    "bm25_boosting": q_bm25_boosting,
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_minscore": q_bm25_minscore,
@@ -3180,10 +3379,12 @@ QUERIES = {
     "transcript_multi_match": q_transcript_multi_match,
     "transcript_collapse": q_transcript_collapse,
     "transcript_function_score": q_transcript_function_score,
+    "transcript_decay": q_transcript_decay,
     "transcript_significant_terms": q_transcript_significant_terms,
     "transcript_terms_agg": q_transcript_terms_agg,
     "transcript_date_histogram": q_transcript_date_histogram,
     "transcript_stats_agg": q_transcript_stats_agg,
+    "transcript_top_hits": q_transcript_top_hits,
     "topk_per_group": q_topk_per_group,
     "tpch_q1": q_tpch_q1,
     "sessionize": q_sessionize,
@@ -3196,6 +3397,7 @@ ORACLES = {
     "bm25_mlt": SQL_BM25_MLT,
     "bm25_rescore": SQL_BM25_RESCORE,
     "bm25_suggest": SQL_BM25_SUGGEST,
+    "bm25_boosting": SQL_BM25_BOOSTING,
     "bm25_topk_indexed": SQL_BM25_TOPK,  # same contract, index-served
     "bm25_topk_filtered": SQL_BM25_FILTERED,
     "bm25_minscore": SQL_BM25_MINSCORE,
@@ -3249,10 +3451,12 @@ ORACLES = {
     "transcript_multi_match": SQL_TRANSCRIPT_MULTI_MATCH,
     "transcript_collapse": SQL_TRANSCRIPT_COLLAPSE,
     "transcript_function_score": SQL_TRANSCRIPT_FUNCTION_SCORE,
+    "transcript_decay": SQL_TRANSCRIPT_DECAY,
     "transcript_significant_terms": SQL_TRANSCRIPT_SIGNIFICANT_TERMS,
     "transcript_terms_agg": SQL_TRANSCRIPT_TERMS_AGG,
     "transcript_date_histogram": SQL_TRANSCRIPT_DATE_HISTOGRAM,
     "transcript_stats_agg": SQL_TRANSCRIPT_STATS_AGG,
+    "transcript_top_hits": SQL_TRANSCRIPT_TOP_HITS,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "tpch_q1": SQL_TPCH_Q1,
     "sessionize": SQL_SESSIONIZE,

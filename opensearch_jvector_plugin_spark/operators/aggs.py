@@ -174,3 +174,39 @@ def stats_agg(hits: DataFrame, attrs: DataFrame, field: str) -> DataFrame:
         F.sum(c).alias("sum"),
         F.avg(c).alias("avg"),
     )
+
+
+def top_hits_agg(
+    hits: DataFrame, attrs: DataFrame, field: str, size: int
+) -> DataFrame:
+    """top_hits sub-aggregation under a terms bucketing: for every distinct
+    non-NULL value of `field` among a query's hits, the bucket's top `size`
+    hits by (round-6 score desc, doc_id asc) —
+    (query_id, key, hit_rank, doc_id, score).
+
+    OpenSearch evaluates top_hits per bucket over the already-matched hit
+    set (the fetch-phase doc-values path, KNNVectorIndexFieldData.java:1-60)
+    — so unlike collapse this consumes the CUT hit set, not the full scored
+    relation: a bucket's hits are by definition hits of the query. Plan:
+    the broadcast hit-attr join (hit-sized), then one window per
+    (query, bucket)."""
+    if size <= 0:
+        raise ValueError(f"top_hits size must be positive, got {size}")
+    j = (
+        attrs.select("doc_id", field)
+        .join(F.broadcast(hits.select("query_id", "doc_id", "score")), "doc_id")
+        .where(F.col(field).isNotNull())
+    )
+    s6 = F.round(F.col("score"), 6)
+    w = W.partitionBy("query_id", field).orderBy(s6.desc(), F.asc("doc_id"))
+    return (
+        j.withColumn("hit_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("hit_rank") <= size)
+        .select(
+            "query_id",
+            F.col(field).alias("key"),
+            "hit_rank",
+            "doc_id",
+            s6.alias("score"),
+        )
+    )

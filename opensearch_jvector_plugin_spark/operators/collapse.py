@@ -102,3 +102,60 @@ def field_value_factor(
     return s.where(fv.isNotNull()).select(
         "query_id", "doc_id", combined.alias("score")
     )
+
+
+def decay_score(
+    scored: DataFrame,
+    attrs: DataFrame,
+    field: str,
+    fn: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    boost_mode: str = "multiply",
+) -> DataFrame:
+    """function_score decay functions (OpenSearch DecayFunctionBuilder,
+    numeric-field form): (query_id, doc_id, score) with the query score
+    combined with
+
+        dist   = max(0, |value - origin| - offset)
+        gauss  : exp(-dist^2 / (2*sigma^2)),  sigma^2 = -scale^2 / (2*ln(decay))
+        exp    : exp(ln(decay) / scale * dist)
+        linear : max(0, (s - dist) / s),      s = scale / (1 - decay)
+
+    so the function is exactly `decay` at distance `scale` past the offset.
+    A NULL doc value yields function value 1.0 (the OpenSearch contract for
+    documents missing the field). All three shapes are closed-form Catalyst
+    expressions on the doc-values join — the same match-sized plan as
+    field_value_factor, no UDF."""
+    if scale <= 0:
+        raise ValueError(f"decay scale must be positive: {scale}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1): {decay}")
+    import math
+
+    val = F.col(field).cast("double")
+    dist = F.greatest(
+        F.lit(0.0), F.abs(val - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    if fn == "gauss":
+        sigma_sq = -(scale * scale) / (2.0 * math.log(decay))
+        d = F.exp(-(dist * dist) / F.lit(2.0 * sigma_sq))
+    elif fn == "exp":
+        d = F.exp(F.lit(math.log(decay) / scale) * dist)
+    elif fn == "linear":
+        s = scale / (1.0 - decay)
+        d = F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    else:
+        raise ValueError(f"unknown decay function: {fn!r}")
+    d = F.when(val.isNull(), F.lit(1.0)).otherwise(d)
+    if boost_mode == "multiply":
+        combined = F.col("score") * d
+    elif boost_mode == "sum":
+        combined = F.col("score") + d
+    else:
+        raise ValueError(f"unsupported boost_mode: {boost_mode!r}")
+    return scored.join(attrs.select("doc_id", field), "doc_id").select(
+        "query_id", "doc_id", combined.alias("score")
+    )

@@ -623,3 +623,91 @@ def msm_scores(
     if persisted is not None:
         out._ojs_persisted = persisted
     return out
+
+
+def boosting_scores(
+    corpus: DataFrame,
+    boosting_queries: DataFrame,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """Lucene BoostingQuery (the OpenSearch `boosting` query): the positive
+    clause is scored normally; hits that ALSO match the negative clause
+    (any negative term present) keep rank eligibility but are demoted to
+
+        score = positive_score * negative_boost        (0 < boost < 1)
+
+    — unlike must_not the negative clause never removes a hit, it only
+    down-weights. boosting_queries: (query_id, positive_text,
+    negative_text, negative_boost); returns (query_id, doc_id, score).
+
+    Plan: one postings derivation feeds both sides — the positive BM25
+    aggregation (score_all's plan) and the negative match set, which is a
+    broadcast term join + distinct on match-sized rows; the demotion is a
+    hit-sized left join. No corpus-keyed shuffle beyond the scoring
+    aggregation.
+    """
+    postings = postings_df(corpus).persist()
+    try:
+        if stats is None:
+            stats = corpus_stats(corpus)
+        term_df = postings.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        pos_terms = query_terms_df(
+            boosting_queries.select(
+                "query_id", F.col("positive_text").alias("query_text")
+            )
+        )
+        weighted = (
+            pos_terms.join(term_df, "term")
+            .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
+            .select(
+                "query_id", "term", (F.col("qtf") * F.col("idf")).alias("w")
+            )
+        )
+        scored = (
+            postings.join(F.broadcast(weighted), "term")
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    F.col("w")
+                    * bm25_tf_norm(F.col("tf"), F.col("dl"), stats.avgdl)
+                ).alias("contrib"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        neg_terms = query_terms_df(
+            boosting_queries.select(
+                "query_id", F.col("negative_text").alias("query_text")
+            )
+        ).select("query_id", "term")
+        neg_matched = (
+            postings.join(F.broadcast(neg_terms), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+            .withColumn("_neg", F.lit(1))
+        )
+        boosts = boosting_queries.select(
+            "query_id", F.col("negative_boost").cast("double").alias("_nb")
+        )
+        # neg_matched is bounded by sum(df) over the negative terms — can be
+        # corpus-sized for a common negative term, so NOT broadcast: both
+        # sides key on (query_id, doc_id) and AQE picks the strategy.
+        out = (
+            scored.join(neg_matched, ["query_id", "doc_id"], "left")
+            .join(F.broadcast(boosts), "query_id")
+            .select(
+                "query_id",
+                "doc_id",
+                F.when(F.col("_neg").isNotNull(), F.col("score") * F.col("_nb"))
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+        )
+        out._ojs_persisted = postings
+        return out
+    except Exception:
+        postings.unpersist()
+        raise
