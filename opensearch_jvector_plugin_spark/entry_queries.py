@@ -1309,7 +1309,7 @@ def _transcript_attrs(spark: SparkSession) -> DataFrame:
     return assign_doc_ids(
         synthesize_transcripts(spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS),
         ["conv_id", "turn_idx"],
-    ).select("doc_id", "role", "tool", "ts", "turn_idx")
+    ).select("doc_id", "conv_id", "role", "tool", "ts", "turn_idx")
 
 
 def q_transcript_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,6 +1352,54 @@ def q_transcript_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stats_agg(hits, _transcript_attrs(spark), "turn_idx")
     return out.select(
         "query_id", "count", "min", "max", "sum", F.round("avg", 6).alias("avg")
+    )
+
+
+CARDINALITY_FIELD = "conv_id"
+PERCENTILES_PERCENTS = [25.0, 50.0, 75.0, 95.0]
+# Overlapping 4th bucket: OpenSearch ranges may overlap (each is an
+# independent conditional count), and the open ends exercise '*'.
+RANGE_AGG_RANGES: list[tuple[float | None, float | None]] = [
+    (None, 3.0),
+    (3.0, 7.0),
+    (7.0, None),
+    (2.0, 5.0),
+]
+
+
+def q_transcript_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cardinality agg over the hits' conv_id (exact countDistinct on the
+    hit-sized input; approx_count_distinct HLL++ is the same operator's
+    full-corpus path — operators/aggs.cardinality_agg)."""
+    from .operators.aggs import cardinality_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    return cardinality_agg(
+        hits, _transcript_attrs(spark), CARDINALITY_FIELD
+    )
+
+
+def q_transcript_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles agg (exact linear interpolation — percentile_cont /
+    quantile_cont definition) over the hits' turn_idx
+    (operators/aggs.percentiles_agg)."""
+    from .operators.aggs import percentiles_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    return percentiles_agg(
+        hits, _transcript_attrs(spark), "turn_idx", PERCENTILES_PERCENTS
+    )
+
+
+def q_transcript_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range agg over the hits' turn_idx: half-open [from, to) buckets,
+    open ends, overlapping buckets counted independently, empty buckets
+    emitted with doc_count 0 (operators/aggs.range_agg)."""
+    from .operators.aggs import range_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    return range_agg(
+        hits, _transcript_attrs(spark), "turn_idx", RANGE_AGG_RANGES
     )
 
 
@@ -3008,11 +3056,11 @@ WITH hits AS (
 ),
 attrs AS (
   SELECT (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT
-           AS doc_id, role, tool, ts, turn_idx
+           AS doc_id, conv_id, role, tool, ts, turn_idx
   FROM read_parquet('{path}')
 ),
 j AS (
-  SELECT h.query_id, a.role, a.tool, a.ts, a.turn_idx
+  SELECT h.query_id, a.conv_id, a.role, a.tool, a.ts, a.turn_idx
   FROM hits h JOIN attrs a USING (doc_id)
 )"""
 
@@ -3107,10 +3155,54 @@ FROM rankedh WHERE hit_rank <= {TOP_HITS_SIZE}
 """
 
 
+def _cardinality_sql() -> str:
+    return f"""{_agg_prefix_sql()}
+SELECT query_id, count(DISTINCT {CARDINALITY_FIELD})::BIGINT AS value
+FROM j WHERE {CARDINALITY_FIELD} IS NOT NULL GROUP BY query_id
+"""
+
+
+def _percentiles_sql() -> str:
+    # Same fraction arithmetic as percentiles_agg (p / 100.0 in Python,
+    # repr'd) so both engines fold the identical double.
+    parts = " UNION ALL ".join(
+        f"SELECT query_id, {repr(float(p))} AS percent,"
+        f" round(quantile_cont(turn_idx::DOUBLE, {repr(float(p) / 100.0)}), 6)"
+        f" AS value FROM j GROUP BY query_id"
+        for p in PERCENTILES_PERCENTS
+    )
+    return f"""{_agg_prefix_sql()}
+{parts}
+"""
+
+
+def _range_agg_sql() -> str:
+    fmt = lambda x: "*" if x is None else f"{float(x):g}"
+    parts = []
+    for lo, hi in RANGE_AGG_RANGES:
+        conds = ["TRUE"]
+        if lo is not None:
+            conds.append(f"turn_idx::DOUBLE >= {float(lo)}")
+        if hi is not None:
+            conds.append(f"turn_idx::DOUBLE < {float(hi)}")
+        key = f"{fmt(lo)}-{fmt(hi)}"
+        parts.append(
+            f"SELECT query_id, '{key}' AS range_key,"
+            f" sum(CASE WHEN {' AND '.join(conds)} THEN 1 ELSE 0 END)::BIGINT"
+            f" AS doc_count FROM j GROUP BY query_id"
+        )
+    return f"""{_agg_prefix_sql()}
+{" UNION ALL ".join(parts)}
+"""
+
+
 SQL_TRANSCRIPT_TERMS_AGG = _terms_agg_sql()
 SQL_TRANSCRIPT_DATE_HISTOGRAM = _date_histogram_sql()
 SQL_TRANSCRIPT_STATS_AGG = _stats_agg_sql()
 SQL_TRANSCRIPT_TOP_HITS = _top_hits_sql()
+SQL_TRANSCRIPT_CARDINALITY = _cardinality_sql()
+SQL_TRANSCRIPT_PERCENTILES = _percentiles_sql()
+SQL_TRANSCRIPT_RANGE_AGG = _range_agg_sql()
 
 def _ivf_trained_sql(
     metric: str,
@@ -3385,6 +3477,9 @@ QUERIES = {
     "transcript_date_histogram": q_transcript_date_histogram,
     "transcript_stats_agg": q_transcript_stats_agg,
     "transcript_top_hits": q_transcript_top_hits,
+    "transcript_cardinality": q_transcript_cardinality,
+    "transcript_percentiles": q_transcript_percentiles,
+    "transcript_range_agg": q_transcript_range_agg,
     "topk_per_group": q_topk_per_group,
     "tpch_q1": q_tpch_q1,
     "sessionize": q_sessionize,
@@ -3457,6 +3552,9 @@ ORACLES = {
     "transcript_date_histogram": SQL_TRANSCRIPT_DATE_HISTOGRAM,
     "transcript_stats_agg": SQL_TRANSCRIPT_STATS_AGG,
     "transcript_top_hits": SQL_TRANSCRIPT_TOP_HITS,
+    "transcript_cardinality": SQL_TRANSCRIPT_CARDINALITY,
+    "transcript_percentiles": SQL_TRANSCRIPT_PERCENTILES,
+    "transcript_range_agg": SQL_TRANSCRIPT_RANGE_AGG,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "tpch_q1": SQL_TPCH_Q1,
     "sessionize": SQL_SESSIONIZE,

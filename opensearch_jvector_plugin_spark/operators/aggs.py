@@ -210,3 +210,102 @@ def top_hits_agg(
             s6.alias("score"),
         )
     )
+
+
+def cardinality_agg(
+    hits: DataFrame, attrs: DataFrame, field: str, exact: bool = True
+) -> DataFrame:
+    """cardinality aggregation: (query_id, value) distinct non-NULL field
+    values among the hits. exact=True is countDistinct (hit-sized input, so
+    exact is cheap at serving time — the hit set is ≤ Σk rows); exact=False
+    is approx_count_distinct (HyperLogLog++, rsd 0.5% — OpenSearch's own
+    cardinality agg is HLL-approximate above precision_threshold, and the
+    sketch path is the one that matters when the agg runs over a full-corpus
+    match instead of a top-k cut)."""
+    vals = _hit_attrs(hits, attrs, [field]).where(F.col(field).isNotNull())
+    agg = (
+        F.countDistinct(field)
+        if exact
+        else F.approx_count_distinct(field, 0.005)
+    )
+    return vals.groupBy("query_id").agg(agg.cast("long").alias("value"))
+
+
+def percentiles_agg(
+    hits: DataFrame, attrs: DataFrame, field: str, percents: list[float]
+) -> DataFrame:
+    """percentiles aggregation: (query_id, percent, value) with exact
+    linear-interpolation percentiles (index p·(n−1), interpolate) — the
+    same definition as SQL percentile_cont, so the DuckDB oracle twin is
+    quantile_cont. OpenSearch serves TDigest approximations; over a
+    hit-sized input exact is both cheaper and strictly more accurate, and
+    Spark's percentile_approx is the drop-in when the input is a
+    full-corpus match. NULLs excluded."""
+    if not percents or not all(0.0 <= p <= 100.0 for p in percents):
+        raise ValueError(f"percents must be within [0, 100]: {percents}")
+    vals = _hit_attrs(hits, attrs, [field]).where(F.col(field).isNotNull())
+    fracs = [float(p) / 100.0 for p in percents]
+    arr = vals.groupBy("query_id").agg(
+        F.percentile(F.col(field).cast("double"), F.array(
+            *[F.lit(f) for f in fracs]
+        )).alias("_vals")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in percents]).alias("percent"),
+        F.col("_vals").alias("value"),
+    )
+    return arr.select(
+        "query_id", F.explode(pairs).alias("_p")
+    ).select(
+        "query_id",
+        F.col("_p.percent").alias("percent"),
+        F.round(F.col("_p.value"), 6).alias("value"),
+    )
+
+
+def range_agg(
+    hits: DataFrame,
+    attrs: DataFrame,
+    field: str,
+    ranges: list[tuple[float | None, float | None]],
+) -> DataFrame:
+    """range aggregation: (query_id, range_key, doc_count) with OpenSearch's
+    half-open [from, to) buckets and open ends (None). Buckets may overlap
+    (a doc can land in several — the OpenSearch contract), so each range is
+    an independent conditional count in ONE pass over the hit-attr join;
+    empty buckets emit doc_count 0 (ranges are a fixed spec, not data-driven
+    like terms). range_key = 'from-to' with '*' for an open end."""
+    if not ranges:
+        raise ValueError("range agg needs at least one range")
+    vals = _hit_attrs(hits, attrs, [field]).where(F.col(field).isNotNull())
+    v = F.col(field).cast("double")
+    aggs = []
+    keys = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= float(lo))
+        if hi is not None:
+            cond = cond & (v < float(hi))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        )
+        fmt = lambda x: "*" if x is None else f"{float(x):g}"
+        keys.append(f"{fmt(lo)}-{fmt(hi)}")
+    counted = vals.groupBy("query_id").agg(*aggs)
+    buckets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("range_key"),
+                    F.col(f"_c{i}").alias("doc_count"),
+                )
+                for i, k in enumerate(keys)
+            ]
+        )
+    )
+    return counted.select("query_id", buckets.alias("_b")).select(
+        "query_id",
+        F.col("_b.range_key").alias("range_key"),
+        F.col("_b.doc_count").alias("doc_count"),
+    )

@@ -155,3 +155,49 @@ def test_boosting_oov_negative_is_identity(spark, corpus):
     assert got.keys() == plain.keys()
     for d in got:
         assert got[d] == pytest.approx(plain[d])
+
+
+def test_cardinality_percentiles_range(spark):
+    from opensearch_jvector_plugin_spark.operators.aggs import (
+        cardinality_agg,
+        percentiles_agg,
+        range_agg,
+    )
+
+    hits = spark.createDataFrame(
+        [(0, d, 1.0) for d in range(1, 6)] + [(1, 1, 1.0)],
+        "query_id INT, doc_id LONG, score DOUBLE",
+    )
+    attrs = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 1.0), (3, "b", 2.0), (4, None, 3.0),
+         (5, "c", 4.0)],
+        "doc_id LONG, g STRING, v DOUBLE",
+    )
+    card = {r.query_id: r.value for r in cardinality_agg(
+        hits, attrs, "g").collect()}
+    assert card == {0: 3, 1: 1}  # NULL g (doc 4) excluded
+    approx = {r.query_id: r.value for r in cardinality_agg(
+        hits, attrs, "g", exact=False).collect()}
+    assert approx[1] == 1  # HLL exact at tiny cardinality
+
+    pct = percentiles_agg(hits, attrs, "v", [0.0, 50.0, 100.0]).toPandas()
+    q0 = pct[pct.query_id == 0].set_index("percent").value
+    # v over q0's hits = [0,1,2,3,4]: exact interpolation
+    assert q0[0.0] == 0.0 and q0[50.0] == 2.0 and q0[100.0] == 4.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        percentiles_agg(hits, attrs, "v", [150.0])
+    with _pt.raises(ValueError):
+        percentiles_agg(hits, attrs, "v", [])
+
+    rng = range_agg(
+        hits, attrs, "v", [(None, 2.0), (2.0, None), (1.0, 4.0)]
+    ).toPandas()
+    r0 = rng[rng.query_id == 0].set_index("range_key").doc_count
+    # [0,1,2,3,4]: <2 -> 2; >=2 -> 3; [1,4) -> 3 (overlap allowed)
+    assert r0["*-2"] == 2 and r0["2-*"] == 3 and r0["1-4"] == 3
+    r1 = rng[rng.query_id == 1].set_index("range_key").doc_count
+    # q1's single hit v=0: empty buckets still emitted with 0
+    assert r1["*-2"] == 1 and r1["2-*"] == 0 and r1["1-4"] == 0
+    with _pt.raises(ValueError):
+        range_agg(hits, attrs, "v", [])
