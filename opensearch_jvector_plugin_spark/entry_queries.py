@@ -190,6 +190,36 @@ def q_bm25_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Whole-phrase did-you-mean set: leading-token misspelling, all-in-dict
+# (identity must win), mid-phrase misspelling in a 3-token phrase, a
+# single-token phrase, an all-OOV phrase (identity is the only candidate).
+PHRASE_SUGGEST_QUERIES: list[tuple[int, str]] = [
+    (0, "tabel scan"),
+    (1, "sort merge"),
+    (2, "data kye order"),
+    (3, "mergee"),
+    (4, "zzzz qqqq"),
+]
+PHRASE_SUGGEST_SIZE = 3
+
+
+def q_bm25_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase suggester (NoisyChannelSpellChecker + LaplaceScorer shape):
+    whole-phrase corrections scored by channel x Laplace-smoothed corpus
+    bigram LM over a per-position candidate lattice
+    (operators/suggest.phrase_suggest)."""
+    import pandas as pd
+
+    from .operators.suggest import phrase_suggest
+
+    qpdf = pd.DataFrame(
+        PHRASE_SUGGEST_QUERIES, columns=["query_id", "query_text"]
+    )
+    return phrase_suggest(
+        _docs(spark, sf_dir), qpdf, size=PHRASE_SUGGEST_SIZE
+    )
+
+
 def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep pagination: page 2 of every entry query via the search_after
     cursor protocol (operators/paginate.py) — the cursor is page 1's last
@@ -1777,6 +1807,114 @@ FROM rankedsug WHERE rn <= {SUGGEST_SIZE}
 
 
 SQL_BM25_SUGGEST = _suggest_sql()
+
+
+def _phrase_suggest_sql() -> str:
+    """Oracle twin of phrase_suggest: per-position candidate CTEs (the
+    term-suggest ranking), nested cross-join lattice per query (T known at
+    generation time), the identical Laplace/noisy-channel formula with
+    every driver-computed double inlined via repr()."""
+    import math
+
+    alpha = 0.5
+    rwel = 0.95
+    log_rwel = repr(math.log(rwel))
+    log_err = repr(math.log(1.0 - rwel))
+    num_candidates, max_edits, prefix_len = 3, 2, 1
+    ctes = [
+        f"corpus AS ({_DOCS_CORPUS_SQL})",
+        "dfreq AS (SELECT term, count(*)::BIGINT AS df FROM"
+        " (SELECT DISTINCT doc_id, unnest(toks) AS term FROM corpus)"
+        " GROUP BY term)",
+        "uni AS (SELECT term, count(*)::BIGINT AS cnt FROM"
+        " (SELECT unnest(toks) AS term FROM corpus) GROUP BY term)",
+        """bi AS (
+  SELECT b.v AS v, b.w AS w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest([struct_pack(v := toks[i], w := toks[i + 1])
+                   for i in generate_series(1, len(toks) - 1)]) AS b
+    FROM corpus WHERE len(toks) >= 2
+  ) GROUP BY b.v, b.w
+)""",
+        "tot AS (SELECT (SELECT sum(cnt) FROM uni)::DOUBLE AS n,"
+        " (SELECT count(*) FROM uni)::DOUBLE AS v)",
+    ]
+    scored_parts = []
+    for qid, qtext in PHRASE_SUGGEST_QUERIES:
+        tokens = tokenize_text(qtext)
+        if not tokens:
+            continue
+        for i, tok in enumerate(tokens):
+            sim = (
+                f"round(1.0 - levenshtein('{tok}', d.term)::DOUBLE"
+                f" / greatest(length('{tok}'), length(d.term))::DOUBLE, 6)"
+            )
+            ctes.append(f"""cand_{qid}_{i} AS (
+  SELECT cand, sim, df FROM (
+    SELECT cand, sim, df,
+           row_number() OVER (ORDER BY sim DESC, df DESC, cand ASC) AS rn
+    FROM (
+      SELECT d.term AS cand, {sim} AS sim, d.df
+      FROM dfreq d
+      WHERE substr(d.term, 1, {prefix_len}) = substr('{tok}', 1, {prefix_len})
+        AND levenshtein('{tok}', d.term) <= {max_edits}
+        AND d.term <> '{tok}'
+    ) WHERE sim > 0.0
+  ) WHERE rn <= {num_candidates}
+  UNION ALL
+  SELECT '{tok}' AS cand, 1.0 AS sim,
+         coalesce((SELECT df FROM dfreq WHERE term = '{tok}'), 0) AS df
+)""")
+        t = len(tokens)
+        combo_from = " CROSS JOIN ".join(
+            f"cand_{qid}_{i} p{i}" for i in range(t)
+        )
+        uni_joins = " ".join(
+            f"LEFT JOIN uni u{i} ON u{i}.term = p{i}.cand" for i in range(t)
+        )
+        bi_joins = " ".join(
+            f"LEFT JOIN bi b{i} ON b{i}.v = p{i-1}.cand"
+            f" AND b{i}.w = p{i}.cand"
+            for i in range(1, t)
+        )
+        terms = []
+        for i, tok in enumerate(tokens):
+            terms.append(
+                f"(CASE WHEN p{i}.cand = '{tok}' AND p{i}.df > 0"
+                f" THEN {log_rwel} ELSE {log_err} + ln(p{i}.sim) END)"
+            )
+            if i == 0:
+                terms.append(
+                    f"ln((coalesce(u0.cnt, 0) + {alpha})"
+                    f" / (t.n + {alpha} * t.v))"
+                )
+            else:
+                terms.append(
+                    f"ln((coalesce(b{i}.cnt, 0) + {alpha})"
+                    f" / (coalesce(u{i-1}.cnt, 0) + {alpha} * t.v))"
+                )
+        phrase = " || ' ' || ".join(f"p{i}.cand" for i in range(t))
+        scored_parts.append(
+            f"SELECT {qid} AS query_id, {phrase} AS suggestion,"
+            f" round({' + '.join(terms)}, 6) AS score"
+            f" FROM {combo_from} CROSS JOIN tot t {uni_joins} {bi_joins}"
+        )
+    return f"""WITH {", ".join(ctes)},
+allscored AS (
+  {" UNION ALL ".join(scored_parts)}
+),
+rankedps AS (
+  SELECT query_id, suggestion, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, suggestion ASC
+         ) AS rn
+  FROM allscored
+)
+SELECT query_id, suggestion, score
+FROM rankedps WHERE rn <= {PHRASE_SUGGEST_SIZE}
+"""
+
+
+SQL_BM25_PHRASE_SUGGEST = _phrase_suggest_sql()
 
 
 def _boosting_sql() -> str:
@@ -3422,6 +3560,7 @@ QUERIES = {
     "bm25_mlt": q_bm25_mlt,
     "bm25_rescore": q_bm25_rescore,
     "bm25_suggest": q_bm25_suggest,
+    "bm25_phrase_suggest": q_bm25_phrase_suggest,
     "bm25_boosting": q_bm25_boosting,
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -3492,6 +3631,7 @@ ORACLES = {
     "bm25_mlt": SQL_BM25_MLT,
     "bm25_rescore": SQL_BM25_RESCORE,
     "bm25_suggest": SQL_BM25_SUGGEST,
+    "bm25_phrase_suggest": SQL_BM25_PHRASE_SUGGEST,
     "bm25_boosting": SQL_BM25_BOOSTING,
     "bm25_topk_indexed": SQL_BM25_TOPK,  # same contract, index-served
     "bm25_topk_filtered": SQL_BM25_FILTERED,

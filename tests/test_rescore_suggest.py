@@ -86,3 +86,49 @@ def test_term_suggest_ranking_and_missing_mode(spark):
         term_suggest(term_df, qdf, size=0)
     with pytest.raises(ValueError):
         term_suggest(term_df, qdf, suggest_mode="bogus")
+
+
+def test_phrase_suggest_bigram_lm(spark):
+    import math
+
+    import pandas as pd
+
+    from opensearch_jvector_plugin_spark.operators.suggest import (
+        lm_counts,
+        phrase_suggest,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "table scan fast"),
+            (1, "table scan slow"),
+            (2, "table merge fast"),
+            (3, "index scan fast"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    uni, bi, n, v = lm_counts(corpus)
+    assert n == 12 and v == 6
+    bim = {(r.v, r.w): r.cnt for r in bi.collect()}
+    assert bim[("table", "scan")] == 2 and bim[("scan", "fast")] == 2
+
+    q = pd.DataFrame({"query_id": [0, 1], "query_text":
+                      ["tabel scan", "table scan"]})
+    out = phrase_suggest(corpus, q, size=3).toPandas()
+    # misspelled query: the corrected phrase must outrank the identity
+    q0 = out[out.query_id == 0].sort_values("score", ascending=False)
+    assert q0.iloc[0].suggestion == "table scan"
+    assert "tabel scan" in set(q0.suggestion)  # identity still a candidate
+    # all-in-dictionary query: identity wins (real-word likelihood 0.95
+    # beats any (1-rwel)*sim channel for an equally-probable phrase)
+    q1 = out[out.query_id == 1].sort_values("score", ascending=False)
+    assert q1.iloc[0].suggestion == "table scan"
+    # Hand-check q1's top score: channel 2*ln(.95), LM ln P(table) +
+    # ln P(scan|table) with alpha=.5: count(table)=3, count(table scan)=2,
+    # N=12, V=6 -> (3+.5)/(12+3) and (2+.5)/(3+3)
+    want = round(2 * math.log(0.95) + math.log(3.5 / 15.0)
+                 + math.log(2.5 / 6.0), 6)
+    assert abs(q1.iloc[0].score - want) < 1e-9
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        phrase_suggest(corpus, q, size=0)
