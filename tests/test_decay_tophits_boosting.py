@@ -201,3 +201,40 @@ def test_cardinality_percentiles_range(spark):
     assert r1["*-2"] == 1 and r1["2-*"] == 0 and r1["1-4"] == 0
     with _pt.raises(ValueError):
         range_agg(hits, attrs, "v", [])
+
+
+def test_new_operator_plans(spark):
+    """Plan discipline for the round-5-late operators:
+
+    - top_hits_agg broadcasts the hit set into the attr scan (the attrs
+      side is never hash-exchanged on doc_id);
+    - decay_score adds ONE projection over the doc-values join — no extra
+      exchange beyond the join the scored relation already needs;
+    - boosting_scores' demotion join keys on (query_id, doc_id) of
+      match-sized relations only (no corpus-side Exchange other than the
+      scoring aggregation's own)."""
+    from opensearch_jvector_plugin_spark.operators.aggs import top_hits_agg
+    from opensearch_jvector_plugin_spark.operators.collapse import decay_score
+
+    hits = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 2.0)], "query_id INT, doc_id LONG, score DOUBLE"
+    )
+    attrs = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "doc_id LONG, g STRING, v DOUBLE"
+    )
+    th_plan = (
+        top_hits_agg(hits, attrs, "g", 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in th_plan
+    for line in th_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            # only the per-(query, bucket) window partitioning survives
+            assert "doc_id" not in line, line
+
+    base = decay_score(hits, attrs, "v", "gauss", 0.0, 10.0)
+    joined_only = hits.join(attrs.select("doc_id", "v"), "doc_id")
+    n_ex = lambda df: df._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange"
+    )
+    assert n_ex(base) == n_ex(joined_only)  # decay adds zero exchanges
