@@ -1433,6 +1433,21 @@ def q_transcript_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HISTOGRAM_INTERVAL = 2.0
+
+
+def q_transcript_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric fixed-interval histogram (date_histogram's numeric twin)
+    over the hits' turn_idx: bucket_key = floor(v/2)*2, min_doc_count=0
+    gap-filled (operators/aggs.histogram_agg)."""
+    from .operators.aggs import histogram_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    return histogram_agg(
+        hits, _transcript_attrs(spark), "turn_idx", HISTOGRAM_INTERVAL
+    )
+
+
 TOP_HITS_FIELD = "tool"
 TOP_HITS_SIZE = 2
 
@@ -3293,6 +3308,30 @@ FROM rankedh WHERE hit_rank <= {TOP_HITS_SIZE}
 """
 
 
+def _histogram_sql() -> str:
+    s = repr(HISTOGRAM_INTERVAL)
+    return f"""{_agg_prefix_sql()},
+b AS (
+  SELECT query_id, floor(turn_idx::DOUBLE / {s})::BIGINT AS idx
+  FROM j WHERE turn_idx IS NOT NULL
+),
+counts AS (
+  SELECT query_id, idx, count(*)::BIGINT AS doc_count
+  FROM b GROUP BY query_id, idx
+),
+bounds AS (
+  SELECT query_id, min(idx) AS lo, max(idx) AS hi FROM counts
+  GROUP BY query_id
+),
+grid AS (
+  SELECT query_id, unnest(generate_series(lo, hi, 1)) AS idx FROM bounds
+)
+SELECT g.query_id, round(g.idx::DOUBLE * {s}, 6) AS bucket_key,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM grid g LEFT JOIN counts c USING (query_id, idx)
+"""
+
+
 def _cardinality_sql() -> str:
     return f"""{_agg_prefix_sql()}
 SELECT query_id, count(DISTINCT {CARDINALITY_FIELD})::BIGINT AS value
@@ -3338,6 +3377,7 @@ SQL_TRANSCRIPT_TERMS_AGG = _terms_agg_sql()
 SQL_TRANSCRIPT_DATE_HISTOGRAM = _date_histogram_sql()
 SQL_TRANSCRIPT_STATS_AGG = _stats_agg_sql()
 SQL_TRANSCRIPT_TOP_HITS = _top_hits_sql()
+SQL_TRANSCRIPT_HISTOGRAM = _histogram_sql()
 SQL_TRANSCRIPT_CARDINALITY = _cardinality_sql()
 SQL_TRANSCRIPT_PERCENTILES = _percentiles_sql()
 SQL_TRANSCRIPT_RANGE_AGG = _range_agg_sql()
@@ -3616,6 +3656,7 @@ QUERIES = {
     "transcript_date_histogram": q_transcript_date_histogram,
     "transcript_stats_agg": q_transcript_stats_agg,
     "transcript_top_hits": q_transcript_top_hits,
+    "transcript_histogram": q_transcript_histogram,
     "transcript_cardinality": q_transcript_cardinality,
     "transcript_percentiles": q_transcript_percentiles,
     "transcript_range_agg": q_transcript_range_agg,
@@ -3692,6 +3733,7 @@ ORACLES = {
     "transcript_date_histogram": SQL_TRANSCRIPT_DATE_HISTOGRAM,
     "transcript_stats_agg": SQL_TRANSCRIPT_STATS_AGG,
     "transcript_top_hits": SQL_TRANSCRIPT_TOP_HITS,
+    "transcript_histogram": SQL_TRANSCRIPT_HISTOGRAM,
     "transcript_cardinality": SQL_TRANSCRIPT_CARDINALITY,
     "transcript_percentiles": SQL_TRANSCRIPT_PERCENTILES,
     "transcript_range_agg": SQL_TRANSCRIPT_RANGE_AGG,

@@ -309,3 +309,43 @@ def range_agg(
         F.col("_b.range_key").alias("range_key"),
         F.col("_b.doc_count").alias("doc_count"),
     )
+
+
+def histogram_agg(
+    hits: DataFrame, attrs: DataFrame, field: str, interval: float
+) -> DataFrame:
+    """Numeric fixed-interval histogram (the OpenSearch `histogram` agg):
+    (query_id, bucket_key, doc_count) with bucket_key =
+    floor(value / interval) * interval and min_doc_count=0 gap-filling
+    between each query's first and last occupied bucket — date_histogram's
+    numeric twin. The gap grid runs over integral bucket INDICES (Spark
+    sequence() is integral-only) and multiplies back, so float intervals
+    stay exact at the key. NULL values excluded."""
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    step = float(interval)
+    idx = F.floor(F.col(field).cast("double") / F.lit(step)).cast("long")
+    bucketed = (
+        _hit_attrs(hits, attrs, [field])
+        .where(F.col(field).isNotNull())
+        .select("query_id", idx.alias("_idx"))
+    )
+    counts = bucketed.groupBy("query_id", "_idx").agg(
+        F.count("*").alias("doc_count")
+    )
+    bounds = counts.groupBy("query_id").agg(
+        F.min("_idx").alias("_lo"), F.max("_idx").alias("_hi")
+    )
+    grid = bounds.select(
+        "query_id",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(1).cast("long"))
+        ).alias("_idx"),
+    )
+    return grid.join(counts, ["query_id", "_idx"], "left").select(
+        "query_id",
+        F.round(F.col("_idx").cast("double") * F.lit(step), 6).alias(
+            "bucket_key"
+        ),
+        F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+    )

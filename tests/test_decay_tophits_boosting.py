@@ -238,3 +238,22 @@ def test_new_operator_plans(spark):
         "Exchange"
     )
     assert n_ex(base) == n_ex(joined_only)  # decay adds zero exchanges
+
+
+def test_histogram_agg_gap_fill(spark):
+    from opensearch_jvector_plugin_spark.operators.aggs import histogram_agg
+
+    hits = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0)],
+        "query_id INT, doc_id LONG, score DOUBLE",
+    )
+    attrs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.7), (3, 6.1)], "doc_id LONG, v DOUBLE"
+    )
+    out = histogram_agg(hits, attrs, "v", 2.0).toPandas()
+    got = dict(zip(out.bucket_key, out.doc_count))
+    # occupied buckets 0 and 6; gaps 2 and 4 emitted as zeros
+    assert got == {0.0: 2, 2.0: 0, 4.0: 0, 6.0: 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        histogram_agg(hits, attrs, "v", 0.0)
