@@ -2249,21 +2249,30 @@ SQL_BM25_HIGHLIGHT = _highlight_sql()
 
 
 def _fuzzy_sql() -> str:
-    from .operators.fuzzy import MAX_EDITS
+    from .operators.fuzzy import MAX_EDITS, MAX_EXPANSIONS
 
     tf_norm = bm25_tf_norm_sql("tf.tf", "doclen.dl", "s.avgdl")
+    boost = (
+        "(1.0 - levenshtein(qt.term, d.term)::DOUBLE"
+        " / greatest(len(qt.term), len(d.term))::DOUBLE)"
+    )
     return (
         "WITH "
         + _bm25_ctes(queries=FUZZY_QUERIES)
         + f""",
-expanded AS (
+expandedw AS (
   SELECT qt.query_id, d.term,
-         qt.qtf
-         * (1.0 - levenshtein(qt.term, d.term)::DOUBLE
-              / greatest(len(qt.term), len(d.term))::DOUBLE)
-         * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+         qt.qtf * {boost}
+         * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w,
+         row_number() OVER (
+           PARTITION BY qt.query_id, qt.term
+           ORDER BY {boost} DESC, d.df DESC, d.term ASC
+         ) AS rn
   FROM qt JOIN dfreq d ON levenshtein(qt.term, d.term) <= {MAX_EDITS}
   CROSS JOIN stats s
+),
+expanded AS (
+  SELECT query_id, term, w FROM expandedw WHERE rn <= {MAX_EXPANSIONS}
 ),
 fscored AS (
   SELECT e.query_id, tf.doc_id, sum(e.w * {tf_norm}) AS score
@@ -2292,16 +2301,25 @@ SQL_BM25_FUZZY = _fuzzy_sql()
 
 
 def _prefix_sql() -> str:
+    from .operators.fuzzy import MAX_EXPANSIONS
+
     tf_norm = bm25_tf_norm_sql("tf.tf", "doclen.dl", "s.avgdl")
     return (
         "WITH "
         + _bm25_ctes(queries=PREFIX_QUERIES)
         + f""",
-expanded AS (
+expandedw AS (
   SELECT qt.query_id, d.term,
-         qt.qtf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+         qt.qtf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w,
+         row_number() OVER (
+           PARTITION BY qt.query_id, qt.term
+           ORDER BY d.df DESC, d.term ASC
+         ) AS rn
   FROM qt JOIN dfreq d ON starts_with(d.term, qt.term)
   CROSS JOIN stats s
+),
+expanded AS (
+  SELECT query_id, term, w FROM expandedw WHERE rn <= {MAX_EXPANSIONS}
 ),
 fscored AS (
   SELECT e.query_id, tf.doc_id, sum(e.w * {tf_norm}) AS score
@@ -2335,6 +2353,8 @@ def _pattern_sql(
     """Shared oracle for single-pattern-per-query expansion (wildcard /
     regexp): dict terms matching the pattern join with weight idf, then the
     standard scoring tail. match_pred references p.pattern and d.term."""
+    from .operators.fuzzy import MAX_EXPANSIONS
+
     tf_norm = bm25_tf_norm_sql("tf.tf", "doclen.dl", "s.avgdl")
     rows = ", ".join(f"({q}, '{pat_fn(p)}')" for q, p, _k in pats)
     return (
@@ -2342,11 +2362,17 @@ def _pattern_sql(
         + _bm25_ctes(queries=pats)
         + f""",
 pat AS (SELECT * FROM (VALUES {rows}) AS p(query_id, pattern)),
-expanded AS (
+expandedw AS (
   SELECT p.query_id, d.term,
-         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w,
+         row_number() OVER (
+           PARTITION BY p.query_id ORDER BY d.df DESC, d.term ASC
+         ) AS rn
   FROM pat p JOIN dfreq d ON {match_pred}
   CROSS JOIN stats s
+),
+expanded AS (
+  SELECT query_id, term, w FROM expandedw WHERE rn <= {MAX_EXPANSIONS}
 ),
 fscored AS (
   SELECT e.query_id, tf.doc_id, sum(e.w * {tf_norm}) AS score

@@ -36,11 +36,29 @@ postings scan, so fuzzy costs one dict scan more than an exact query.
 For the pattern queries all patterns project over ONE dict scan (a
 struct-array explode, the phrase-projection discipline) rather than one
 scan per pattern.
+
+Expansion is CAPPED (Lucene FuzzyQuery maxExpansions=50 /
+TopTermsBlendedFreqScoringRewrite; BooleanQuery maxClauseCount is the
+hard analog): without a cap a `*e*`-class wildcard or a short fuzzy term
+against a 100M-term dictionary would broadcast a dictionary-sized weight
+table — executor OOM on adversarial-but-legal input. The cap is a
+per-query window ON THE EXPANSION (matched terms only, far smaller than
+the dict), selecting the top max_expansions terms by
+
+    fuzzy:                    (boost DESC, df DESC, term ASC)
+    prefix/wildcard/regexp:   (df DESC, term ASC)
+
+— Lucene's top-terms rewrite keeps the highest-boost / highest-docFreq
+terms; the trailing term ASC makes the cut deterministic across engines
+(boost is exact rational arithmetic on both sides, so the double compares
+identically). The SQL oracles encode the identical window
+(entry_queries.py), so capped results stay hash-identical.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import bm25_idf, bm25_tf_norm
@@ -48,15 +66,37 @@ from ..plans.stats import CorpusStats, corpus_stats, postings_df
 from .score import query_terms_df
 
 MAX_EDITS = 1
+# Lucene FuzzyQuery.defaultMaxExpansions == 50; shared by every
+# multi-term rewrite here (fuzzy/prefix/wildcard/regexp).
+MAX_EXPANSIONS = 50
+
+
+def _cap_expansion(
+    matched: DataFrame, partition_cols: list[str], order_cols: list,
+    max_expansions: int,
+) -> DataFrame:
+    """Top-max_expansions per expansion group (the TopTermsRewrite cut),
+    applied to the matched rows BEFORE any broadcast. The window shuffles
+    only matched terms (<= dict, usually tiny); its output is bounded by
+    groups * max_expansions."""
+    w = W.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(max_expansions))
+        .drop("_rn")
+    )
 
 
 def fuzzy_expand(
     qterms: DataFrame, term_df: DataFrame, n_docs: float,
     max_edits: int = MAX_EDITS,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
-    """(query_id, term, w): every dict term within max_edits of a query
-    term, weighted qtf * boost * idf. qterms is broadcast (small by
-    contract); the dict scan is the only full pass."""
+    """(query_id, term, w): the top-max_expansions dict terms within
+    max_edits of each query term (per-(query, qterm) cut by boost DESC,
+    df DESC, term ASC — the TopTermsBlendedFreqScoringRewrite selection),
+    weighted qtf * boost * idf. qterms is broadcast (small by contract);
+    the dict scan is the only full pass."""
     q = qterms.select(
         "query_id", F.col("term").alias("qterm"), "qtf"
     )
@@ -64,38 +104,51 @@ def fuzzy_expand(
     boost = F.lit(1.0) - ed.cast("double") / F.greatest(
         F.length("qterm"), F.length("term")
     ).cast("double")
-    return (
-        term_df.join(F.broadcast(q), ed <= max_edits)
-        .select(
-            "query_id",
-            "term",
-            (
-                F.col("qtf") * boost * bm25_idf(F.col("df"), float(n_docs))
-            ).alias("w"),
-        )
+    matched = term_df.join(F.broadcast(q), ed <= max_edits).select(
+        "query_id", "qterm", "term", "df", "qtf", boost.alias("boost")
+    )
+    capped = _cap_expansion(
+        matched,
+        ["query_id", "qterm"],
+        [F.desc("boost"), F.desc("df"), F.asc("term")],
+        max_expansions,
+    )
+    return capped.select(
+        "query_id",
+        "term",
+        (
+            F.col("qtf") * F.col("boost")
+            * bm25_idf(F.col("df"), float(n_docs))
+        ).alias("w"),
     )
 
 
 def prefix_expand(
-    qterms: DataFrame, term_df: DataFrame, n_docs: float
+    qterms: DataFrame, term_df: DataFrame, n_docs: float,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
-    """PrefixQuery expansion: (query_id, term, w) for every dict term
-    starting with a query term, weighted qtf * idf (the SCORING_BOOLEAN
+    """PrefixQuery expansion: (query_id, term, w) for the top-max_expansions
+    dict terms starting with each query term (per-(query, qterm) cut by
+    df DESC, term ASC), weighted qtf * idf (the SCORING_BOOLEAN
     rewrite — Lucene's default constant-score rewrite is a filter, the
     scoring rewrite is the variant with a rank contract to oracle-check).
     Same dict-scan shape as fuzzy_expand; a term-range parquet filter
     (term >= p AND term < p+'\\uffff') would prune the dict scan further at
     100 TB — startswith keeps the three implementations trivially aligned."""
     q = qterms.select("query_id", F.col("term").alias("qterm"), "qtf")
-    return (
-        term_df.join(
-            F.broadcast(q), F.col("term").startswith(F.col("qterm"))
-        )
-        .select(
-            "query_id",
-            "term",
-            (F.col("qtf") * bm25_idf(F.col("df"), float(n_docs))).alias("w"),
-        )
+    matched = term_df.join(
+        F.broadcast(q), F.col("term").startswith(F.col("qterm"))
+    ).select("query_id", "qterm", "term", "df", "qtf")
+    capped = _cap_expansion(
+        matched,
+        ["query_id", "qterm"],
+        [F.desc("df"), F.asc("term")],
+        max_expansions,
+    )
+    return capped.select(
+        "query_id",
+        "term",
+        (F.col("qtf") * bm25_idf(F.col("df"), float(n_docs))).alias("w"),
     )
 
 
@@ -120,9 +173,11 @@ def pattern_expand(
     n_docs: float,
     pats: list[tuple[int, str]],
     match_builder,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
-    """(query_id, term, w = idf) for every dict term matching each query's
-    pattern. All patterns are projected over ONE dict scan: a per-term
+    """(query_id, term, w = idf) for the top-max_expansions dict terms
+    matching each query's pattern (per-query cut by df DESC, term ASC).
+    All patterns are projected over ONE dict scan: a per-term
     struct array (query_id, matched) exploded and filtered, so adding a
     pattern adds a codegen'd predicate, not a scan."""
     structs = [
@@ -132,16 +187,20 @@ def pattern_expand(
         )
         for qid, pat in pats
     ]
-    return (
+    matched = (
         term_df.select(
             "term", "df", F.explode(F.array(*structs)).alias("s")
         )
         .where(F.col("s.m"))
-        .select(
-            F.col("s.query_id").alias("query_id"),
-            "term",
-            bm25_idf(F.col("df"), float(n_docs)).alias("w"),
-        )
+        .select(F.col("s.query_id").alias("query_id"), "term", "df")
+    )
+    capped = _cap_expansion(
+        matched, ["query_id"], [F.desc("df"), F.asc("term")], max_expansions
+    )
+    return capped.select(
+        "query_id",
+        "term",
+        bm25_idf(F.col("df"), float(n_docs)).alias("w"),
     )
 
 
@@ -150,6 +209,7 @@ def _pattern_scores(
     pats: list[tuple[int, str]],
     match_builder,
     stats: CorpusStats | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """Shared scoring tail for single-pattern-per-query expansion."""
     postings = postings_df(corpus).persist()
@@ -159,7 +219,10 @@ def _pattern_scores(
         term_df = postings.groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         )
-        weighted = pattern_expand(term_df, stats.n_docs, pats, match_builder)
+        weighted = pattern_expand(
+            term_df, stats.n_docs, pats, match_builder,
+            max_expansions=max_expansions,
+        )
         scored = postings.join(F.broadcast(weighted), "term").select(
             "query_id",
             "doc_id",
@@ -182,13 +245,15 @@ def wildcard_scores(
     corpus: DataFrame,
     pats: list[tuple[int, str]],
     stats: CorpusStats | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """WildcardQuery under the scoring-boolean rewrite: pats is
     [(query_id, pattern)] with `*`/`?` wildcards; score = sum over matched
     dict terms of idf(term) * tf_norm."""
     like_pats = [(qid, wildcard_to_like(p)) for qid, p in pats]
     return _pattern_scores(
-        corpus, like_pats, lambda term, p: term.like(p), stats
+        corpus, like_pats, lambda term, p: term.like(p), stats,
+        max_expansions=max_expansions,
     )
 
 
@@ -196,6 +261,7 @@ def regexp_scores(
     corpus: DataFrame,
     pats: list[tuple[int, str]],
     stats: CorpusStats | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """RegexpQuery under the scoring-boolean rewrite: each pattern is
     implicitly anchored (Lucene matches the WHOLE term) — the Column side
@@ -207,6 +273,7 @@ def regexp_scores(
         list(pats),
         lambda term, p: term.rlike(f"^(?:{p})$"),
         stats,
+        max_expansions=max_expansions,
     )
 
 
@@ -246,9 +313,14 @@ def prefix_scores(
     corpus: DataFrame,
     queries: DataFrame,
     stats: CorpusStats | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """(query_id, doc_id, score) under the prefix-expansion contract."""
-    return _expanded_scores(corpus, queries, prefix_expand, stats)
+
+    def expand(qt, td, n):
+        return prefix_expand(qt, td, n, max_expansions=max_expansions)
+
+    return _expanded_scores(corpus, queries, expand, stats)
 
 
 def fuzzy_scores(
@@ -256,10 +328,11 @@ def fuzzy_scores(
     queries: DataFrame,
     max_edits: int = MAX_EDITS,
     stats: CorpusStats | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """(query_id, doc_id, score) under the fuzzy-expansion contract above."""
 
     def expand(qt, td, n):
-        return fuzzy_expand(qt, td, n, max_edits)
+        return fuzzy_expand(qt, td, n, max_edits, max_expansions)
 
     return _expanded_scores(corpus, queries, expand, stats)

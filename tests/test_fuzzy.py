@@ -189,3 +189,63 @@ def test_regexp_alternation_unions_terms(spark, tiny_corpus_pdf):
         if {"hotcommon", "hotrare"} & set(tokenize_text(t))
     }
     assert got == want and len(want) > 0
+
+
+def test_wildcard_match_everything_caps_at_max_expansions(
+    spark, tiny_corpus_pdf
+):
+    """A match-everything wildcard expands to EXACTLY max_expansions terms
+    (the Lucene TopTermsRewrite cut, df DESC / term ASC), not the whole
+    dictionary — the scale guard against adversarial wide patterns."""
+    from opensearch_jvector_plugin_spark.operators.fuzzy import (
+        pattern_expand,
+        wildcard_scores,
+    )
+    from opensearch_jvector_plugin_spark.plans.stats import corpus_stats
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    postings = postings_df(corpus)
+    term_df = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    ).cache()
+    n_vocab = term_df.count()
+    cap = 7
+    assert n_vocab > cap  # the fixture vocab must exceed the cap
+    exp = pattern_expand(
+        term_df, 100.0, [(0, "%")], lambda t, p: t.like(p),
+        max_expansions=cap,
+    ).toPandas()
+    assert len(exp) == cap
+    # The cut keeps the highest-df terms, ties broken by term asc.
+    tdf = term_df.toPandas().sort_values(
+        ["df", "term"], ascending=[False, True], kind="mergesort"
+    )
+    assert sorted(exp["term"]) == sorted(tdf["term"].head(cap))
+
+    # End-to-end: capped scoring only sees contributions from capped terms.
+    scored = wildcard_scores(corpus, [(0, "*")], max_expansions=cap)
+    got = scored.toPandas()
+    assert len(got) > 0
+    term_df.unpersist()
+
+
+def test_fuzzy_expansion_cap_is_per_query_term(spark, tiny_corpus_pdf):
+    """The fuzzy cap applies per (query, query-term): a two-term query may
+    keep up to 2 * max_expansions expanded terms, each group cut by
+    (boost DESC, df DESC, term ASC)."""
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    postings = postings_df(corpus)
+    term_df = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    queries = spark.createDataFrame(
+        [(0, "term0001 term0002", 10)],
+        "query_id INT, query_text STRING, k LONG",
+    )
+    cap = 2
+    exp = fuzzy_expand(
+        query_terms_df(queries), term_df, 100.0, max_expansions=cap
+    ).toPandas()
+    assert len(exp) <= 2 * cap
+    # Distance-0 self matches have boost 1.0 — always the top of each group.
+    assert {"term0001", "term0002"} <= set(exp["term"])
