@@ -650,6 +650,112 @@ def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+# --- Index-served variants of the expansion/boolean surface: identical
+# contracts (and shared oracles) to the declarative rows above, but the
+# corpus text is never re-tokenized — expansion runs against the persisted
+# dictionary and scoring against the persisted postings
+# (operators/indexed_text.py; JVectorReader.java:108-133 serves queries
+# from the on-disk structure, never the source data).
+
+
+def _rank_indexed(spark: SparkSession, res: DataFrame, ks) -> DataFrame:
+    ks_df = spark.createDataFrame(list(ks), "query_id INT, _k LONG")
+    return _rank_rounded(res.select("query_id", "doc_id", "score"), ks_df)
+
+
+def q_bm25_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_fuzzy served from the persisted index: dictionary expansion +
+    MaxScore kernel, tie_epsilon = the round-6 quantum (the
+    bm25_topk_indexed discipline)."""
+    import pandas as pd
+
+    from .operators.indexed_text import search_fuzzy
+
+    idx = load_index(_index_for(spark, sf_dir))
+    qpdf = pd.DataFrame(FUZZY_QUERIES, columns=["query_id", "query_text", "k"])
+    res = search_fuzzy(spark, idx, qpdf, tie_epsilon=1e-6)
+    return _rank_indexed(spark, res, [(q, k) for q, _t, k in FUZZY_QUERIES])
+
+
+def q_bm25_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_prefix served from the persisted index."""
+    import pandas as pd
+
+    from .operators.indexed_text import search_prefix
+
+    idx = load_index(_index_for(spark, sf_dir))
+    qpdf = pd.DataFrame(
+        PREFIX_QUERIES, columns=["query_id", "query_text", "k"]
+    )
+    res = search_prefix(spark, idx, qpdf, tie_epsilon=1e-6)
+    return _rank_indexed(spark, res, [(q, k) for q, _t, k in PREFIX_QUERIES])
+
+
+def q_bm25_wildcard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_wildcard served from the persisted index."""
+    from .operators.indexed_text import search_wildcard
+
+    idx = load_index(_index_for(spark, sf_dir))
+    res = search_wildcard(
+        spark, idx,
+        [(q, p) for q, p, _k in WILDCARD_QUERIES],
+        {q: k for q, _p, k in WILDCARD_QUERIES},
+        tie_epsilon=1e-6,
+    )
+    return _rank_indexed(spark, res, [(q, k) for q, _p, k in WILDCARD_QUERIES])
+
+
+def q_bm25_regexp_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_regexp served from the persisted index."""
+    from .operators.indexed_text import search_regexp
+
+    idx = load_index(_index_for(spark, sf_dir))
+    res = search_regexp(
+        spark, idx,
+        [(q, p) for q, p, _k in REGEXP_QUERIES],
+        {q: k for q, _p, k in REGEXP_QUERIES},
+        tie_epsilon=1e-6,
+    )
+    return _rank_indexed(spark, res, [(q, k) for q, _p, k in REGEXP_QUERIES])
+
+
+def q_bm25_msm_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_msm served from the persisted index (gated full scoring — the
+    kernel counts distinct matched terms per doc and applies the cut
+    segment-locally)."""
+    import pandas as pd
+
+    from .operators.indexed_text import search_msm
+
+    idx = load_index(_index_for(spark, sf_dir))
+    qpdf = pd.DataFrame(
+        [(q, t) for q, t, _k, _m in MSM_QUERIES],
+        columns=["query_id", "query_text"],
+    )
+    res = search_msm(
+        spark, idx, qpdf, {q: m for q, _t, _k, m in MSM_QUERIES}
+    )
+    return _rank_indexed(spark, res, [(q, k) for q, _t, k, _m in MSM_QUERIES])
+
+
+def q_bm25_boolean_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_boolean served from the persisted index (must gate + must_not
+    exclusion applied in-kernel)."""
+    import pandas as pd
+
+    from .operators.indexed_text import search_boolean
+
+    idx = load_index(_index_for(spark, sf_dir))
+    qpdf = pd.DataFrame(
+        [(q, m, s, n) for q, m, s, n, _k in BOOL_QUERIES],
+        columns=["query_id", "must_text", "should_text", "must_not_text"],
+    )
+    res = search_boolean(spark, idx, qpdf)
+    return _rank_indexed(
+        spark, res, [(q, k) for q, _m, _s, _n, k in BOOL_QUERIES]
+    )
+
+
 HL_WINDOW = 3
 
 
@@ -3640,6 +3746,12 @@ QUERIES = {
     "bm25_prefix": q_bm25_prefix,
     "bm25_wildcard": q_bm25_wildcard,
     "bm25_regexp": q_bm25_regexp,
+    "bm25_fuzzy_indexed": q_bm25_fuzzy_indexed,
+    "bm25_prefix_indexed": q_bm25_prefix_indexed,
+    "bm25_wildcard_indexed": q_bm25_wildcard_indexed,
+    "bm25_regexp_indexed": q_bm25_regexp_indexed,
+    "bm25_msm_indexed": q_bm25_msm_indexed,
+    "bm25_boolean_indexed": q_bm25_boolean_indexed,
     "bm25_match_phrase_prefix": q_bm25_match_phrase_prefix,
     "bm25_boolean": q_bm25_boolean,
     "bm25_near": q_bm25_near,
@@ -3715,6 +3827,16 @@ ORACLES = {
     "bm25_prefix": SQL_BM25_PREFIX,
     "bm25_wildcard": SQL_BM25_WILDCARD,
     "bm25_regexp": SQL_BM25_REGEXP,
+    # Index-served variants share the declarative oracles: identical
+    # contract (the dict's dfs ARE the corpus dfs; same cap, same weights),
+    # different serving plan (persisted dictionary + postings, no corpus
+    # re-tokenize — plan-asserted in tests/test_indexed_text.py).
+    "bm25_fuzzy_indexed": SQL_BM25_FUZZY,
+    "bm25_prefix_indexed": SQL_BM25_PREFIX,
+    "bm25_wildcard_indexed": SQL_BM25_WILDCARD,
+    "bm25_regexp_indexed": SQL_BM25_REGEXP,
+    "bm25_msm_indexed": SQL_BM25_MSM,
+    "bm25_boolean_indexed": SQL_BM25_BOOLEAN,
     "bm25_match_phrase_prefix": SQL_BM25_MPP,
     "bm25_boolean": SQL_BM25_BOOLEAN,
     "bm25_near": SQL_BM25_NEAR,

@@ -241,6 +241,40 @@ def search(
     empty = spark.createDataFrame([], "query_id INT, rank INT, doc_id LONG, score DOUBLE")
     if not terms:
         return empty
+    return search_weighted(
+        spark, index, weights, ks, allowed_docs=allowed_docs,
+        use_merged=use_merged, tie_epsilon=tie_epsilon,
+    )
+
+
+def search_weighted(
+    spark: SparkSession,
+    index: IndexHandle,
+    weights: dict[int, dict[str, float]],
+    ks: dict[int, int],
+    allowed_docs: np.ndarray | None = None,
+    use_merged: bool | None = None,
+    tie_epsilon: float = 0.0,
+) -> DataFrame:
+    """Top-k serving for PRE-COMPILED per-(query, term) weights — the tail
+    of search() behind every multi-term rewrite: a fuzzy/prefix/wildcard/
+    regexp expansion against the persisted dictionary compiles to exactly
+    this weighted-disjunction form (Lucene's BlendedTermQuery after the
+    TopTermsRewrite), and the MaxScore kernel serves it from the persisted
+    postings without ever touching source text
+    (JVectorReader.java:108-133 — the reference never rescans source data
+    to serve a query). Returns (query_id, rank, doc_id, score)."""
+    terms = sorted({t for w in weights.values() for t in w})
+    empty = spark.createDataFrame(
+        [], "query_id INT, rank INT, doc_id LONG, score DOUBLE"
+    )
+    if not terms:
+        return empty
+    for qid, k in ks.items():
+        if k <= 0 or k > K_MAX:
+            raise ValueError(
+                f"query {qid}: k must be in (0, {K_MAX}], got {k}"
+            )
 
     if use_merged is None:
         # Auto mode: prefer the merged index only when it covers every
