@@ -540,6 +540,86 @@ def quantize_int8(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return q, scale, qnorm
 
 
+# --- 1-bit binary quantization (codec 3 — the x32 compression level):
+# per-dimension mean-threshold training (OneBitScalarQuantizer.java:61-89
+# trains the mean vector of the sample and encodes sign-vs-mean), bit-packed
+# codes, hamming ADC first pass + exact rerank.
+
+
+def train_bq_thresholds(mat: np.ndarray, metric: str) -> np.ndarray:
+    """(dim,) per-dimension thresholds = the mean of the training sample
+    (the OneBitScalarQuantizer.java:61-89 rule). Cosine encodes the
+    NORMALIZED vectors (the PQ convention here — bit patterns then compare
+    directions, not magnitudes); l2/innerproduct encode raw."""
+    mat = np.asarray(mat, dtype=np.float64)
+    if metric == "cosine":
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+    return mat.mean(axis=0)
+
+
+def quantize_binary(
+    vecs: np.ndarray, thresholds: np.ndarray, metric: str
+) -> np.ndarray:
+    """(n, ceil(dim/8)) uint8 bit-packed codes: bit d set iff
+    v[d] > thresholds[d] (above-mean, the one-bit quantizer's encoding).
+    1 bit per dimension = 1/32 of the float32 bytes."""
+    vecs = np.asarray(vecs, dtype=np.float64)
+    if metric == "cosine":
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1), 1e-30)[:, None]
+    bits = (vecs > np.asarray(thresholds, dtype=np.float64)[None, :])
+    return np.packbits(bits, axis=1)
+
+
+# 256-entry byte popcount table: version-portable popcount for the packed
+# hamming kernel (one LUT gather + sum per XOR'd byte).
+_POPCOUNT8 = np.array(
+    [bin(i).count("1") for i in range(256)], dtype=np.int64
+)
+
+
+def hamming_packed(codes: np.ndarray, qcodes: np.ndarray) -> np.ndarray:
+    """(n, q) hamming distances between packed codes (n, nbytes) and query
+    codes (q, nbytes) — XOR + byte-popcount LUT, fully vectorized."""
+    x = codes[:, None, :] ^ qcodes[None, :, :]
+    return _POPCOUNT8[x].sum(axis=2)
+
+
+# The reference's compression-level registry (CompressionLevel.java:25-30:
+# x1..x32, each backed by a quantization codec): engine codec per level.
+# x2 (fp16) and the multi-bit scalar levels (x8 = 4-bit, x16 = 2-bit) have
+# no codec in this engine yet — codec_for_compression_level raises with the
+# supported set, mirroring the reference's isSupportedForMode gate.
+COMPRESSION_LEVELS: dict[str, dict] = {
+    "x1": {"bits_per_dim": 32, "codec": "exact"},
+    "x2": {"bits_per_dim": 16, "codec": None},
+    "x4": {"bits_per_dim": 8, "codec": "sq"},
+    "x8": {"bits_per_dim": 4, "codec": None},
+    "x16": {"bits_per_dim": 2, "codec": None},
+    "x32": {"bits_per_dim": 1, "codec": "bq"},
+}
+
+
+def codec_for_compression_level(level: str) -> str:
+    """Resolve a reference compression level (x1..x32) to the serving
+    codec. Raises for levels without an engine codec (x2/x8/x16) — the
+    CompressionLevel.isSupportedForMode analog."""
+    if level not in COMPRESSION_LEVELS:
+        raise ValueError(
+            f"unknown compression level {level!r}; "
+            f"levels: {sorted(COMPRESSION_LEVELS)}"
+        )
+    codec = COMPRESSION_LEVELS[level]["codec"]
+    if codec is None:
+        supported = sorted(
+            lv for lv, c in COMPRESSION_LEVELS.items() if c["codec"]
+        )
+        raise ValueError(
+            f"compression level {level} has no codec in this engine; "
+            f"supported: {supported}"
+        )
+    return codec
+
+
 PQ_CODES = 256  # JVectorWriter.java:278-294 trains 256-entry codebooks
 PQ_TRAIN_ITERS = 6
 
@@ -633,7 +713,8 @@ def pq_lut(query: np.ndarray, books: np.ndarray, metric: str) -> np.ndarray:
 
 _BUCKET_SCHEMA = (
     "vec_id LONG, centroid_id INT, replica_rank INT, embedding ARRAY<FLOAT>, "
-    "qvec BINARY, qscale DOUBLE, qnorm DOUBLE, pqcode BINARY, pqerr DOUBLE"
+    "qvec BINARY, qscale DOUBLE, qnorm DOUBLE, pqcode BINARY, pqerr DOUBLE, "
+    "bqcode BINARY"
 )
 
 
@@ -659,14 +740,16 @@ def _read_sample_sorted(src: DataFrame, n_vecs: int, sample_cap: int):
 
 
 def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
-                         dim: int | None, where: str):
+                         dim: int | None, where: str, bc_bqth=None):
     """Shared build/append mapInPandas kernel: validate (ingest contract),
     assign each vector to its `reps` nearest frozen centroids, int8-quantize,
-    PQ-encode when codebooks exist."""
+    PQ-encode when codebooks exist, bit-pack (codec 3) when 1-bit
+    thresholds exist."""
 
     def assign_quant(batches):
         cc = bc_cents.value
         bb = bc_books.value
+        th = bc_bqth.value if bc_bqth is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -683,6 +766,11 @@ def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
             else:
                 pbytes = [None] * len(ids)
                 pqerr = np.full(len(ids), np.nan)
+            if th is not None:
+                bq = quantize_binary(vecs, th, metric)
+                bqbytes = [r.tobytes() for r in bq]
+            else:
+                bqbytes = [None] * len(ids)
             embs = list(pdf["embedding"])
             yield pd.DataFrame(
                 {
@@ -699,6 +787,7 @@ def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
                     "qnorm": np.tile(qnorm, reps),
                     "pqcode": pbytes * reps,
                     "pqerr": np.tile(pqerr, reps),
+                    "bqcode": bqbytes * reps,
                 }
             )
 
@@ -825,13 +914,28 @@ def build_vector_index(
             os.path.join(index_dir, "pq_codebooks.parquet"), bbuf.getvalue()
         )
 
+    # 1-bit thresholds (codec 3, the x32 compression level) trained on the
+    # same bounded sample — always trained (dim doubles, negligible), so
+    # every new index can serve codec="bq".
+    bq_th = train_bq_thresholds(smat, metric) if len(smat) else None
+    if bq_th is not None:
+        tbuf = io.BytesIO()
+        pd.DataFrame(
+            {"dim_idx": np.arange(dim, dtype=np.int32), "threshold": bq_th}
+        ).to_parquet(tbuf, index=False)
+        storage.put_bytes(
+            os.path.join(index_dir, "bq_thresholds.parquet"), tbuf.getvalue()
+        )
+
     # One distributed pass: assign + quantize (+ PQ encode), write bucketed.
     bc_cents = spark.sparkContext.broadcast(cents)
     bc_books = spark.sparkContext.broadcast(books)
+    bc_bqth = spark.sparkContext.broadcast(bq_th)
     reps = int(n_replicas)
 
     assign_quant = _assign_quant_kernel(
-        bc_cents, bc_books, metric, reps, dim or None, "build_vector_index"
+        bc_cents, bc_books, metric, reps, dim or None, "build_vector_index",
+        bc_bqth=bc_bqth,
     )
     buckets = os.path.join(index_dir, "buckets")
     src.mapInPandas(assign_quant, _BUCKET_SCHEMA).write.partitionBy(
@@ -849,6 +953,9 @@ def build_vector_index(
         # required by the radial codec="pq" bound (absent in pre-round-4
         # indexes — radial pq on those raises a clear error).
         "pq_err_col": bool(pq_m is not None),
+        # 1-bit codec trained: bq_thresholds.parquet + bqcode column exist
+        # (absent in pre-round-6 indexes — codec="bq" on those raises).
+        "bq": bool(bq_th is not None),
         "seed": int(seed),
         "sample_stride": int(stride),
         "trained_on": int(len(sample_pdf)),
@@ -936,8 +1043,15 @@ def append_vectors(
         [np.asarray(c, dtype=np.float64) for c in cent_pdf["cvec"]]
     )
     books = None
-    if pq_m is not None:
-        books = load_vector_index(index_dir, storage=storage).pq_codebooks()
+    bq_th = None
+    if pq_m is not None or manifest.get("bq"):
+        handle = load_vector_index(index_dir, storage=storage)
+        if pq_m is not None:
+            books = handle.pq_codebooks()
+        if manifest.get("bq"):
+            # Frozen trained state, like centroids/codebooks: appended
+            # vectors bit-pack against the BUILD-time thresholds.
+            bq_th = handle.bq_thresholds()
 
     src = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -969,8 +1083,10 @@ def append_vectors(
     # Step 2: staged write + prefixed move into the live partitions.
     bc_cents = spark.sparkContext.broadcast(cents)
     bc_books = spark.sparkContext.broadcast(books)
+    bc_bqth = spark.sparkContext.broadcast(bq_th)
     assign_quant = _assign_quant_kernel(
-        bc_cents, bc_books, metric, reps, dim, "append_vectors"
+        bc_cents, bc_books, metric, reps, dim, "append_vectors",
+        bc_bqth=bc_bqth,
     )
     staging = _staging_path(index_dir, batch_id)
     storage.rmtree(staging)
@@ -1197,6 +1313,20 @@ class VectorIndexHandle:
                 )
             self._books = books
         return self._books
+
+    def bq_thresholds(self) -> np.ndarray:
+        """(dim,) per-dimension 1-bit thresholds persisted at build time."""
+        if not self.manifest.get("bq"):
+            raise ValueError(
+                "index was built without 1-bit codes (pre-round-6 build); "
+                "rebuild to serve codec='bq'"
+            )
+        if getattr(self, "_bqth", None) is None:
+            tpdf = pd.read_parquet(
+                os.path.join(self.index_dir, "bq_thresholds.parquet")
+            ).sort_values("dim_idx")
+            self._bqth = tpdf["threshold"].to_numpy(np.float64)
+        return self._bqth
 
     @property
     def buckets_path(self) -> str:
@@ -1665,11 +1795,14 @@ def _adc_first_pass(
     downstream global fetch cut selects exactly the same candidate set as
     the one-task-per-bucket shape did. Returns (query_id, vec_id, approx).
     """
-    first_cols = (
-        ["centroid_id", "vec_id", "pqcode"]
-        if codec == "pq"
-        else ["centroid_id", "vec_id", "qvec", "qscale", "qnorm"]
-    )
+    if codec == "pq":
+        first_cols = ["centroid_id", "vec_id", "pqcode"]
+    elif codec == "bq":
+        # 1 bit/dim: the first pass reads ceil(dim/8) bytes per vector —
+        # 1/32 of the float32 scan, the x32 read-volume win.
+        first_cols = ["centroid_id", "vec_id", "bqcode"]
+    else:
+        first_cols = ["centroid_id", "vec_id", "qvec", "qscale", "qnorm"]
 
     def adc(batches):
         all_qids, qnv, qraw, psets, d, nf, met, cdc, lut_all, allow = bc.value
@@ -1700,6 +1833,16 @@ def _adc_first_pass(
                         sims[:, j] = lut_all[qi][rows[None, :], codes].sum(
                             axis=1
                         )
+                elif cdc == "bq":
+                    # lut_all carries the queries' packed 1-bit codes:
+                    # approx = -hamming (bigger = closer in every space).
+                    nb = lut_all.shape[1]
+                    codes = np.frombuffer(
+                        b"".join(pdf["bqcode"]), dtype=np.uint8
+                    ).reshape(len(pdf), nb)
+                    sims = -hamming_packed(codes, lut_all[qsel]).astype(
+                        np.float64
+                    )
                 else:
                     qv = np.frombuffer(
                         b"".join(pdf["qvec"]), dtype=np.int8
@@ -1783,11 +1926,22 @@ def ivf_search(
     codec="pq" (codec 2, JVectorWriter.java:278-294): m-subspace product
     quantization — the first pass reads only the m-byte pqcode; scoring is
     one (m, 256) lookup-table build per query plus m byte-indexed adds per
-    vector (classic ADC)."""
-    if codec not in ("sq", "pq"):
+    vector (classic ADC).
+    codec="bq" (codec 3, the x32 compression level —
+    CompressionLevel.java:25-30 backed by OneBitScalarQuantizer.java:61-89):
+    1 bit/dim mean-threshold binary quantization — the first pass reads the
+    ceil(dim/8)-byte bqcode (1/32 of float32) and ranks by hamming distance
+    between the query's and vectors' bit patterns (XOR + popcount), then
+    the exact rerank recovers true scores."""
+    if codec not in ("sq", "pq", "bq"):
         raise ValueError(f"unknown codec {codec!r}")
     if codec == "pq" and index.pq_m is None:
         raise ValueError("index was built without PQ codes (pq_m=None)")
+    if codec == "bq" and not index.manifest.get("bq"):
+        raise ValueError(
+            "index was built without 1-bit codes (pre-round-6 build); "
+            "rebuild to serve codec='bq'"
+        )
     n_vecs = int(index.manifest.get("n_vecs", 0))
     if approximate_threshold is not None and n_vecs < int(
         approximate_threshold
@@ -1836,6 +1990,9 @@ def ivf_search(
         books = index.pq_codebooks()
         luts = np.stack([pq_lut(qmat[i], books, metric) for i in
                          range(len(qmat))])
+    elif codec == "bq":
+        # The queries' packed 1-bit codes ride the lut slot (nq, ceil(d/8)).
+        luts = quantize_binary(qmat, index.bq_thresholds(), metric)
 
     allowed_sorted = (
         np.sort(np.asarray(allowed_ids, dtype=np.int64))

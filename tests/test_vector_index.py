@@ -514,3 +514,129 @@ def test_probe_scan_is_partition_pruned(spark, vidx):
     # The bucket scan must carry a centroid_id partition filter.
     assert "centroid_id" in plan
     res.count()
+
+
+def test_bq_codec_recall_and_bytes(spark, tmp_path):
+    """Codec 3 (1-bit binary quantization — the x32 compression level,
+    CompressionLevel.java:25-30, OneBitScalarQuantizer.java:61-89
+    mean-threshold training): hamming ADC first pass + exact rerank must
+    recover the exact-in-probed-buckets top-k with the dimension-adaptive
+    candidate pool, and the bqcode column must be 1/32 of the float32
+    embedding logically (ceil(dim/8) bytes/vector) and far smaller on
+    disk."""
+    import pyarrow.parquet as pq_mod
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        ivf_search as ivf_q,
+    )
+
+    emb = spark.read.parquet(EMB)
+    d = str(tmp_path / "vidx_bq")
+    manifest = build_vector_index(emb, d, n_centroids=16)
+    assert manifest["bq"] is True
+    assert os.path.exists(os.path.join(d, "bq_thresholds.parquet"))
+    idx = load_vector_index(d)
+    q = queries_df(spark)
+    exact = ivf_search_exact(spark, idx, q, k=10, nprobe=4).toPandas()
+    # over_query=None -> first_pass_k(10, 64) = 100 candidates (3x clamp):
+    # with the full adaptive pool the 1-bit first pass must hit >= 0.9
+    # (documented gate: hamming over 64 mean-threshold bits is a coarser
+    # ranker than int8/PQ ADC; the pool, not the bits, sets recall —
+    # BENCH.md recall-ladder methodology).
+    bq_res = ivf_q(spark, idx, q.toPandas(), k=10, nprobe=4,
+                   codec="bq", approximate_threshold=None).toPandas()
+    hits = sum(
+        len(set(exact[exact.query_id == qi]["vec_id"])
+            & set(bq_res[bq_res.query_id == qi]["vec_id"]))
+        for qi in range(5)
+    )
+    assert hits / 50 >= 0.9, f"BQ recall {hits / 50}"
+
+    # Logical size: ceil(64/8) = 8 bytes per code.
+    one = pd.read_parquet(
+        next(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(os.path.join(d, "buckets"))
+            for f in fs if f.endswith(".parquet")
+        )
+    )
+    assert all(len(b) == 8 for b in one["bqcode"])
+
+    # On-disk: bqcode must compress to <= 1/16 of the embedding column
+    # (logical ratio is 1/32; parquet framing overhead allows 2x slack).
+    emb_bytes = code_bytes = 0
+    for root, _, files in os.walk(os.path.join(d, "buckets")):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq_mod.ParquetFile(os.path.join(root, fn)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema.split(".")[0]
+                    if name == "embedding":
+                        emb_bytes += col.total_compressed_size
+                    elif name == "bqcode":
+                        code_bytes += col.total_compressed_size
+    assert emb_bytes > 0 and code_bytes > 0
+    assert code_bytes / emb_bytes <= 1 / 16, (code_bytes, emb_bytes)
+
+
+def test_compression_level_registry():
+    """CompressionLevel.java:25-30 analog: x1..x32 registered; x1/x4/x32
+    resolve to engine codecs, unsupported levels raise with the supported
+    set."""
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        COMPRESSION_LEVELS,
+        codec_for_compression_level,
+    )
+
+    assert set(COMPRESSION_LEVELS) == {"x1", "x2", "x4", "x8", "x16", "x32"}
+    assert codec_for_compression_level("x1") == "exact"
+    assert codec_for_compression_level("x4") == "sq"
+    assert codec_for_compression_level("x32") == "bq"
+    for lv in ("x2", "x8", "x16"):
+        with pytest.raises(ValueError, match="supported"):
+            codec_for_compression_level(lv)
+    with pytest.raises(ValueError, match="unknown"):
+        codec_for_compression_level("x64")
+
+
+def test_bq_append_uses_frozen_thresholds(spark, tmp_path):
+    """Appended vectors bit-pack against the BUILD-time thresholds (frozen
+    trained state, like centroids/codebooks), and codec='bq' serves the
+    appended rows."""
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        append_vectors,
+        ivf_search as ivf_q,
+        quantize_binary,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(EMB)
+    d = str(tmp_path / "vidx_bq_app")
+    build_vector_index(emb.where(F.col("vec_id") < 400), d, n_centroids=8)
+    idx0 = load_vector_index(d)
+    th = idx0.bq_thresholds()
+    append_vectors(emb.where(F.col("vec_id") >= 400), d, batch_id=1)
+    idx = load_vector_index(d)
+    np.testing.assert_array_equal(idx.bq_thresholds(), th)
+    # An appended vector queried against itself must rank #1 under bq.
+    q = emb.where(F.col("vec_id") == 450).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    ).toPandas()
+    res = ivf_q(spark, idx, q, k=1, nprobe=2, codec="bq",
+                approximate_threshold=None).toPandas()
+    assert list(res["vec_id"]) == [450]
+    # The stored code equals a driver-side re-quantization with frozen th.
+    emb_pdf = emb.where(F.col("vec_id") == 450).toPandas()
+    want = quantize_binary(
+        np.asarray([np.asarray(emb_pdf["embedding"].iloc[0])]),
+        th, idx.metric,
+    )[0].tobytes()
+    stored = idx.bucket_scan(spark).where(
+        F.col("vec_id") == 450
+    ).select("bqcode").toPandas()["bqcode"].iloc[0]
+    assert bytes(stored) == want
