@@ -1065,6 +1065,85 @@ def q_ann_ivf_trained_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIN_EMB_CACHE: dict[str, str] = {}
+
+
+def _bin_emb_path(sf_dir: str) -> str:
+    """Materialize (once per process) the BINARY twin of the embeddings
+    table: component -> 1.0 if > 0 else 0.0 — the deterministic
+    float-to-bit derivation both engines share (the oracle's bemb CTE is
+    the same CASE over the same doubles). This is the BYTE/BINARY vector
+    data type (VectorDataType.java:31-84) expressed over the harness
+    table."""
+    if sf_dir not in _BIN_EMB_CACHE:
+        import pyarrow.parquet as pq
+
+        t = (
+            pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        import numpy as np
+
+        t["embedding"] = [
+            (np.asarray(v, dtype=np.float64) > 0.0).astype(np.float64)
+            for v in t["embedding"]
+        ]
+        d = tempfile.mkdtemp(prefix="ojs_binemb_")
+        p = os.path.join(d, "bin_embeddings.parquet")
+        t.to_parquet(p, index=False)
+        _BIN_EMB_CACHE[sf_dir] = p
+    return _BIN_EMB_CACHE[sf_dir]
+
+
+def _vector_index_hamming_for(spark: SparkSession, sf_dir: str) -> str:
+    """Trained IVF index over BINARY vectors under the hamming space
+    (reps=1, no PQ — the ann_ivf_auto config), with the centroid twin
+    exported for the oracle keyed by the BINARIZED corpus digest."""
+    from .operators.vector_index import build_vector_index, export_centroids_twin
+
+    bin_path = _bin_emb_path(sf_dir)
+    k = _corpus_auto_k(bin_path, 1, None)
+    export_centroids_twin(
+        bin_path, ORACLE_CENTROIDS_DIR, n_centroids=k, metric="hamming",
+    )
+    key = (sf_dir, "hamming", False)
+    if key not in _VIDX_CACHE:
+        d = tempfile.mkdtemp(prefix="ojs_vidx_")
+        m = build_vector_index(
+            spark.read.parquet(bin_path), d, n_centroids=None,
+            metric="hamming", n_replicas=1, pq_m=None,
+        )
+        assert m["n_centroids"] == k, (m["n_centroids"], k)
+        _VIDX_CACHE[key] = d
+    return _VIDX_CACHE[key]
+
+
+def q_ann_ivf_trained_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF over the BINARY vector data type under the hamming
+    space (VectorDataType.java:31-84; SpaceType.HAMMING,
+    SpaceType.java:139-141): 0/1 vectors validated at ingest, Lloyd
+    training / assignment / probing / serving through the same trained
+    lifecycle, integral hamming distances (the l2sq fold on bits),
+    ascending round-6 rank."""
+    from .operators.vector_index import ivf_search_exact, load_vector_index
+
+    idx = load_vector_index(_vector_index_hamming_for(spark, sf_dir))
+    assert idx.metric == "hamming"
+    bins = spark.read.parquet(_bin_emb_path(sf_dir))
+    queries = bins.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_search_exact(
+        spark, idx, queries, k=ANN_K, nprobe=_idx_nprobe(idx)
+    )
+
+
 ANN_RADIAL_MIN_SCORE = 0.3
 
 
@@ -3520,6 +3599,8 @@ def _ivf_trained_sql(
     replicas: int = IVF_REPLICAS,
     cand_filter: str = "",
     pq_m: int | None = IVF_PQ_M,
+    src: str = "embeddings",
+    prelude: str = "",
 ) -> str:
     """Oracle for the trained+persisted IVF index, parameterized by space.
 
@@ -3536,17 +3617,27 @@ def _ivf_trained_sql(
     Assignment and probing order by the UNROUNDED left-fold metric (the
     Spark build computes the same values bit-identically via the fold-exact
     numpy kernels), ties to the lowest centroid_id; only the final rank
-    rounds to 6dp, the cross-engine output contract."""
+    rounds to 6dp, the cross-engine output contract.
+    `src`/`prelude`: the corpus may be a derived CTE instead of the raw
+    embeddings view (the hamming space binarizes first) — prelude supplies
+    the CTE body, src its name; the content digest is then computed over
+    the DERIVED rows, so the centroid-twin key matches the binarized build
+    input."""
     from .operators.vector_index import DIGEST_SQL_EMBEDDINGS
 
     if metric == "cosine":
         dist, order, out = _COS, "DESC", "cosine"
-    elif metric == "l2":
+    elif metric in ("l2", "hamming"):
+        # hamming == the l2sq fold on 0/1 vectors (integral distances,
+        # SpaceType.java:139-141 through the trained index).
         dist, order, out = _L2SQ, "ASC", "distance"
     elif metric == "innerproduct":
         dist, order, out = _IP, "DESC", "distance"
     else:
         raise ValueError(f"unknown IVF metric {metric!r}")
+    digest_sql = DIGEST_SQL_EMBEDDINGS.replace(
+        "FROM embeddings)", f"FROM {src})"
+    )
     # auto_n_centroids twin: row_bytes = (5*dim + 28 + pq_m) * replicas
     # (float32 embedding + int8 qvec + scales/norm/id + PQ code bytes),
     # k = max(1, min(n, max(round(sqrt n), ceil(n*row_bytes / 64MiB)))).
@@ -3558,21 +3649,21 @@ def _ivf_trained_sql(
         else "(SELECT ((3 * k) + 7) // 8 FROM geo)"
     )
     return f"""
-WITH geo AS (
+WITH {prelude}geo AS (
   SELECT GREATEST(1, LEAST(n, GREATEST(
            CAST(round(sqrt(n)) AS BIGINT),
            ((n * (5 * dim + 28 + {pq_bytes}) * {int(replicas)}) + {budget - 1}) // {budget}
          )))::BIGINT AS k
-  FROM (SELECT count(*) AS n, max(len(embedding)) AS dim FROM embeddings)
+  FROM (SELECT count(*) AS n, max(len(embedding)) AS dim FROM {src})
 ),
 cents AS (
   SELECT centroid_id::INT AS centroid_id, cvec::DOUBLE[] AS cvec
   FROM read_parquet('{ORACLE_CENTROIDS_DIR}/*.parquet')
-  WHERE digest = {DIGEST_SQL_EMBEDDINGS}
+  WHERE digest = {digest_sql}
     AND metric = '{metric}' AND k_centroids = (SELECT k FROM geo)
 ),
 e AS (
-  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM {src}
 ),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -3587,7 +3678,7 @@ assign AS (
 ),
 q AS (
   SELECT vec_id::INT AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id < 5
+  FROM {src} WHERE vec_id < 5
 ),
 probes AS (
   SELECT query_id, centroid_id FROM (
@@ -3624,6 +3715,20 @@ FROM ranked WHERE rank <= {ANN_K}
 SQL_ANN_IVF_TRAINED = _ivf_trained_sql("cosine")
 SQL_ANN_IVF_TRAINED_L2 = _ivf_trained_sql("l2")
 SQL_ANN_IVF_TRAINED_IP = _ivf_trained_sql("innerproduct")
+
+# Hamming over the BINARY data type: the corpus is the binarized twin of
+# the embeddings table (component > 0 -> 1.0), derived identically on both
+# engines; digest/geometry/assign/probe/score all run over the bemb CTE.
+_BEMB_PRELUDE = """bemb AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS embedding
+  FROM embeddings
+),
+"""
+SQL_ANN_IVF_TRAINED_HAMMING = _ivf_trained_sql(
+    "hamming", replicas=1, pq_m=None, src="bemb", prelude=_BEMB_PRELUDE,
+)
 
 
 def _ivf_radial_sql(threshold: float, metric: str = "cosine") -> str:
@@ -3779,6 +3884,7 @@ QUERIES = {
     "ann_ivf_trained": q_ann_ivf_trained,
     "ann_ivf_trained_l2": q_ann_ivf_trained_l2,
     "ann_ivf_trained_ip": q_ann_ivf_trained_ip,
+    "ann_ivf_trained_hamming": q_ann_ivf_trained_hamming,
     "ann_ivf_radial": q_ann_ivf_radial,
     "ann_ivf_radial_pq": q_ann_ivf_radial_pq,
     "ann_ivf_radial_l2": q_ann_ivf_radial_l2,
@@ -3864,6 +3970,7 @@ ORACLES = {
     "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
     "ann_ivf_trained_l2": SQL_ANN_IVF_TRAINED_L2,
     "ann_ivf_trained_ip": SQL_ANN_IVF_TRAINED_IP,
+    "ann_ivf_trained_hamming": SQL_ANN_IVF_TRAINED_HAMMING,
     "ann_ivf_radial": SQL_ANN_IVF_RADIAL,
     # PQ-served radial is bit-identical to exact by construction
     # (conservative bound + exact verify), so it shares the radial oracle.

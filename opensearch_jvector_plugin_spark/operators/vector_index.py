@@ -97,7 +97,12 @@ def first_pass_k(k: int, dim: int) -> int:
         max(MIN_FIRST_PASS_RESULTS, math.ceil(int(k) * factor)),
     )
 
-IVF_METRICS = ("cosine", "l2", "innerproduct")
+# "hamming" is the BINARY/BYTE-vector space (VectorDataType.java:31-84;
+# SpaceType.HAMMING, SpaceType.java:139-141): vectors must be 0/1-valued
+# (ingest-validated), and for a, b in {0,1}^d the squared-euclidean fold
+# IS the hamming distance ((a-b)^2 == a XOR b), so the space reuses the
+# l2 training/assignment/serving kernels with integral distances.
+IVF_METRICS = ("cosine", "l2", "innerproduct", "hamming")
 
 # ------------------------------------------------------- lifecycle plumbing
 
@@ -288,6 +293,17 @@ def validate_embedding_matrix(
                 f"{where}: zero vector is not indexable under the cosine "
                 f"space ({_vid(i)})"
             )
+    if metric == "hamming":
+        # BINARY/BYTE data-type contract (VectorDataType.java:31-84): the
+        # hamming space is defined over bit vectors; every component must
+        # be exactly 0 or 1.
+        nonbit = ~((mat == 0.0) | (mat == 1.0))
+        if nonbit.any():
+            i = int(np.flatnonzero(nonbit.any(axis=1))[0])
+            raise ValueError(
+                f"{where}: hamming space requires 0/1-valued (binary) "
+                f"vector components ({_vid(i)})"
+            )
     return mat
 
 
@@ -400,7 +416,10 @@ def _metric_scores(vecs: np.ndarray, cents: np.ndarray, metric: str):
     space, and whether smaller is closer."""
     if metric == "cosine":
         return fold_cosine(vecs, cents), False
-    if metric == "l2":
+    if metric in ("l2", "hamming"):
+        # hamming == l2sq on 0/1 vectors (module IVF_METRICS note);
+        # centroids are Lloyd means (fractional), assignment geometry is
+        # the standard one.
         return fold_l2sq(vecs, cents), True
     if metric == "innerproduct":
         return _fold_dot(vecs, cents), False
@@ -464,7 +483,7 @@ def train_centroids(
     k = min(n_centroids, n)
     rng = np.random.default_rng(seed)
 
-    if metric == "l2":
+    if metric in ("l2", "hamming"):
         pts = mat
         cents = np.empty((k, pts.shape[1]), dtype=np.float64)
         cents[0] = pts[int(rng.integers(n))]
@@ -1410,7 +1429,10 @@ def _metric_col(metric: str):
 
     if metric == "cosine":
         return cosine_col, "cosine", False
-    if metric == "l2":
+    if metric in ("l2", "hamming"):
+        # The l2sq fold over 0/1 vectors yields the integral hamming
+        # distance (SpaceType.java:139-141 calculateHammingBit analog,
+        # through the trained index).
         return l2_squared_col, "distance", True
     if metric == "innerproduct":
         return inner_product_col, "distance", False

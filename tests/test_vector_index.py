@@ -640,3 +640,47 @@ def test_bq_append_uses_frozen_thresholds(spark, tmp_path):
         F.col("vec_id") == 450
     ).select("bqcode").toPandas()["bqcode"].iloc[0]
     assert bytes(stored) == want
+
+
+def test_hamming_space_through_trained_index(spark, tmp_path):
+    """BINARY/BYTE vector data type through the trained lifecycle
+    (VectorDataType.java:31-84; SpaceType.HAMMING): 0/1 ingest validation,
+    build/probe/serve under metric='hamming', integral distances, and the
+    self-query ranks itself #1 at distance 0."""
+    from pyspark.sql import functions as F
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        validate_embedding_matrix,
+    )
+
+    emb = spark.read.parquet(EMB)
+    bins = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    ).cache()
+    d = str(tmp_path / "vidx_ham")
+    m = build_vector_index(bins, d, n_centroids=8, metric="hamming")
+    assert m["metric"] == "hamming"
+    idx = load_vector_index(d)
+    q = bins.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = ivf_search_exact(spark, idx, q, k=5, nprobe=4).toPandas()
+    assert list(res.columns) == ["query_id", "rank", "vec_id", "distance"]
+    # Integral hamming distances; self-query at rank 1, distance 0.
+    assert (res["distance"] == res["distance"].round()).all()
+    top = res[res["rank"] == 1].set_index("query_id")
+    for qi in range(3):
+        assert top.loc[qi, "vec_id"] == qi
+        assert top.loc[qi, "distance"] == 0.0
+
+    # Ingest contract: non-binary components are rejected by name.
+    with pytest.raises(ValueError, match="0/1-valued"):
+        validate_embedding_matrix(
+            [[0.0, 0.5, 1.0]], None, "hamming", "test", ids=[7]
+        )
+    bins.unpersist()
