@@ -459,6 +459,37 @@ def q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+# Sloppy-phrase query set: (query_id, text, slop, k) — slop=0 (== exact
+# phrase, test-pinned), a reversed pair within slop, a 3-term unordered
+# set, an OOV term (empty), a wider-window trigram.
+SLOPPY_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "table scan", 0, 10),
+    (1, "scan table", 2, 10),
+    (2, "data group order", 2, 10),
+    (3, "merge zzznotaword", 2, 10),
+    (4, "the fast key", 1, 8),
+]
+
+
+def q_bm25_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-term sloppy phrase (Lucene SloppyPhraseMatcher analog): minimal
+    windows containing all terms, dist = extra positions + inversions,
+    each match weighted 1/(dist+1) — operators/phrase.sloppy_scores."""
+    import pandas as pd
+
+    from .operators.phrase import sloppy_scores
+
+    qpdf = pd.DataFrame(
+        [(q, t, s) for q, t, s, _k in SLOPPY_QUERIES],
+        columns=["query_id", "query_text", "slop"],
+    )
+    scored = sloppy_scores(_docs(spark, sf_dir), qpdf)
+    ks = spark.createDataFrame(
+        [(q, k) for q, _t, _s, k in SLOPPY_QUERIES], "query_id INT, _k LONG"
+    )
+    return _rank_rounded(scored, ks)
+
+
 # minimum_should_match query set: (query_id, text, k, msm over DISTINCT
 # terms) — a 3-of-4, a 2-of-3, a full conjunction, an msm that needs an OOV
 # term (empty), and a duplicated-term query (duplicates collapse).
@@ -2253,6 +2284,96 @@ WHERE r.rank <= ks.k
 SQL_BM25_PHRASE = _phrase_sql()
 
 
+def _sloppy_sql() -> str:
+    """Oracle for the N-term sloppy phrase: per query, the identical
+    minimal-window enumeration as sloppy_anchor_infos_col/
+    sloppy_freq_from_infos (operators/phrase.py) over DuckDB's 1-based
+    lists — capped next-occurrence scan, cover-guarded f/dist (DuckDB's
+    greatest() SKIPS nulls, hence the explicit cover CASE), minimal-window
+    test via infos[a+1], 1/(dist+1) weighting."""
+    pf_parts, whens = [], []
+    for qid, text, slop, _k in SLOPPY_QUERIES:
+        terms = tokenize_text(text)
+        n = len(terms)
+        w = n + slop
+        ps_fields = ", ".join(
+            f"p{i} := list_min(list_filter("
+            f"range(a, least(a + {w}, len(toks) + 1)), "
+            f"q -> toks[q] = '{t}'))"
+            for i, t in enumerate(terms)
+        )
+        pslist = (
+            f"list_transform(range(1, len(toks) + 1), "
+            f"a -> struct_pack(a := a, {ps_fields}))"
+        )
+        cover = " AND ".join(f"s.p{i} IS NOT NULL" for i in range(n))
+        f_expr = (
+            f"greatest({', '.join(f's.p{i}' for i in range(n))})"
+            if n > 1
+            else "s.p0"
+        )
+        inv = " + ".join(
+            f"(s.p{i} > s.p{j})::INT"
+            for i in range(n)
+            for j in range(i + 1, n)
+        ) or "0"
+        infos = (
+            f"list_transform({pslist}, s -> struct_pack("
+            f"f := CASE WHEN {cover} THEN {f_expr} END, "
+            f"dist := CASE WHEN {cover} THEN "
+            f"({f_expr} - s.a + 1 - {n}) + ({inv}) END))"
+        )
+        pf = (
+            "coalesce(list_sum(list_transform(range(1, len(infos) + 1), "
+            "a -> CASE WHEN infos[a].f IS NOT NULL "
+            "AND (infos[a+1].f IS NULL OR infos[a+1].f > infos[a].f) "
+            f"AND infos[a].dist <= {slop} "
+            "THEN 1.0 / (infos[a].dist + 1) ELSE 0.0 END)), 0.0)"
+        )
+        pf_parts.append(
+            f"SELECT {qid} AS query_id, doc_id, dl, {pf} AS pf FROM ("
+            f"SELECT doc_id, len(toks)::BIGINT AS dl, {infos} AS infos "
+            f"FROM corpus)"
+        )
+        whens.append(f"WHEN {qid} THEN ({_phrase_idf_sql(terms)})")
+    tf_norm = bm25_tf_norm_sql("p.pf", "p.dl", "s.avgdl")
+    ks = ", ".join(f"({q}, {k})" for q, _t, _s, k in SLOPPY_QUERIES)
+    return f"""
+WITH corpus AS (
+  {_DOCS_CORPUS_SQL}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(len(toks))::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM corpus
+),
+pf AS (
+  {" UNION ALL ".join(pf_parts)}
+),
+scored AS (
+  SELECT p.query_id, p.doc_id,
+         (CASE p.query_id {" ".join(whens)} END) * {tf_norm} AS score
+  FROM pf p CROSS JOIN stats s
+  WHERE p.pf > 0
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+),
+ks(query_id, k) AS (VALUES {ks})
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM ranked r JOIN ks ON r.query_id = ks.query_id
+WHERE r.rank <= ks.k
+"""
+
+
+SQL_BM25_SLOPPY = _sloppy_sql()
+
+
 def _mpp_sql() -> str:
     pf_parts, whens = [], []
     for qid, text, _k in MPP_QUERIES:
@@ -3860,6 +3981,7 @@ QUERIES = {
     "bm25_match_phrase_prefix": q_bm25_match_phrase_prefix,
     "bm25_boolean": q_bm25_boolean,
     "bm25_near": q_bm25_near,
+    "bm25_sloppy": q_bm25_sloppy,
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "postings_sample": q_postings_sample,
@@ -3946,6 +4068,7 @@ ORACLES = {
     "bm25_match_phrase_prefix": SQL_BM25_MPP,
     "bm25_boolean": SQL_BM25_BOOLEAN,
     "bm25_near": SQL_BM25_NEAR,
+    "bm25_sloppy": SQL_BM25_SLOPPY,
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "postings_sample": SQL_POSTINGS_SAMPLE,

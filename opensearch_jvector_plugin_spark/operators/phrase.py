@@ -147,6 +147,192 @@ def near_freq_col(
     ).otherwise(F.lit(0))
 
 
+def sloppy_anchor_infos_col(
+    toks: Column, terms: list[str], slop: int
+) -> Column:
+    """Per-anchor match info for the N-term sloppy-phrase matcher (the
+    Lucene SloppyPhraseMatcher analog, generalized from the 2-term
+    `near_freq_col`): an array over anchors a in [0, L-1] of structs
+    (f, dist) where, scanning the capped window [a, a + N + slop - 1],
+
+      p_i  = first position of terms[i] at/after a within the window
+      f    = max_i p_i                (null when any term is absent —
+                                       windows longer than N + slop can
+                                       never reach dist <= slop, so the
+                                       cap loses nothing)
+      dist = (f - a + 1 - N)          extra positions consumed
+           + #{(i, j) : i < j in query order, p_i > p_j}   (inversions)
+
+    A MINIMAL window (counted once, the standard minimal-cover rule:
+    [a, f(a)] is minimal iff cover(a) and (no cover at a+1 or
+    f(a+1) > f(a))) with dist <= slop contributes 1 / (dist + 1) to the
+    sloppy frequency — Lucene's sloppyFreq weighting. dist = 0 iff the
+    terms are consecutive in exact query order, so slop = 0 degenerates
+    to the ordered phrase (test-pinned). Documented deviations from
+    Lucene: terms must be DISTINCT (repeats unsupported), and the
+    inversion count replaces Lucene's edit-distance displacement.
+
+    Everything is a codegen'd higher-order projection — no explode, no
+    shuffle, no Python; materialize this array ONCE per (doc, query) and
+    fold it with sloppy_freq_from_infos (O(1) per anchor)."""
+    n = len(terms)
+    if len(set(terms)) != n:
+        raise ValueError(f"sloppy phrase requires distinct terms: {terms}")
+    w = n + int(slop)  # max window length that can reach dist <= slop
+    L = F.size(toks)
+
+    def _is_term(t: str):
+        # Factory keeps the HOF lambda unary (PySpark reads arity).
+        return lambda p: F.get(toks, p) == F.lit(t)
+
+    def info(a: Column) -> Column:
+        hi = F.least(a + F.lit(w - 1), L - F.lit(1))
+        ps = []
+        for t in terms:
+            occ = F.filter(F.sequence(a, hi), _is_term(t))
+            ps.append(F.get(occ, 0))
+        f = F.greatest(*ps) if n > 1 else ps[0]
+        cover = ps[0].isNotNull()
+        for p in ps[1:]:
+            cover = cover & p.isNotNull()
+        inv: Column = F.lit(0)
+        for i in range(n):
+            for j in range(i + 1, n):
+                inv = inv + (ps[i] > ps[j]).cast("int")
+        dist = (f - a + F.lit(1 - n)).cast("int") + inv
+        return F.struct(
+            F.when(cover, f).alias("f"),
+            F.when(cover, dist).alias("dist"),
+        )
+
+    return F.when(
+        L > 0, F.transform(F.sequence(F.lit(0), L - F.lit(1)), info)
+    )
+
+
+def sloppy_freq_from_infos(infos: Column, slop: int) -> Column:
+    """Fold the precomputed anchor-info array into the sloppy frequency
+    (see sloppy_anchor_infos_col): sum over minimal windows with
+    dist <= slop of 1/(dist + 1). O(1) per anchor — the O(N * window)
+    scans happened once in the materialized infos column."""
+    L = F.size(infos)
+
+    def contrib(acc: Column, a: Column) -> Column:
+        cur = F.get(infos, a)
+        nxt = F.get(infos, a + F.lit(1))  # null past the end
+        minimal = cur["f"].isNotNull() & (
+            nxt.isNull() | nxt["f"].isNull() | (nxt["f"] > cur["f"])
+        )
+        hit = minimal & (cur["dist"] <= F.lit(int(slop)))
+        return acc + F.when(
+            hit, F.lit(1.0) / (cur["dist"] + F.lit(1)).cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return F.when(
+        L > 0,
+        F.aggregate(
+            F.sequence(F.lit(0), L - F.lit(1)), F.lit(0.0), contrib
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def sloppy_scores(
+    corpus: DataFrame,
+    queries: pd.DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """N-term sloppy-phrase scoring: queries is a pandas frame with
+    columns (query_id, query_text, slop). The phrase behaves as one
+    pseudo-term with tf = the (fractional) sloppy frequency and weight =
+    the occurrence-order idf fold over the phrase terms — exactly the
+    phrase_scores contract with sloppyFreq in place of phraseFreq, so
+    slop = 0 is frame-identical to phrase_scores (test-pinned).
+
+    Plan: ONE stats scan (per-term df via array_contains, no shuffle) +
+    ONE scoring scan that materializes each query's anchor-info array
+    once per row and folds it — all codegen'd projections; the per-query
+    weight table broadcasts back, match-sized rows only survive."""
+    qdefs: list[tuple[int, list[str], int]] = []
+    for r in queries.itertuples(index=False):
+        toks = tokenize_text(r.query_text)
+        if toks:
+            qdefs.append((int(r.query_id), toks, int(r.slop)))
+    spark = corpus.sparkSession
+    if not qdefs:
+        return spark.createDataFrame(
+            [], "query_id INT, doc_id LONG, score DOUBLE"
+        )
+    base = corpus.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        tokenize_col(text_col).alias("toks"),
+    )
+    # Stats scan: N, avgdl, per-distinct-term df (the phrase_scores shape).
+    all_terms = sorted({t for _q, ts, _s in qdefs for t in ts})
+    aggs = [
+        F.count("*").cast("double").alias("_n"),
+        F.avg(F.size("toks").cast("double")).alias("_avgdl"),
+    ]
+    for i, t in enumerate(all_terms):
+        aggs.append(
+            F.sum(F.array_contains("toks", t).cast("long")).alias(f"_df_{i}")
+        )
+    stats = base.agg(*aggs)
+    tidx = {t: i for i, t in enumerate(all_terms)}
+    wstructs = []
+    for qid, ts, _slop in qdefs:
+        wcol: Column | None = None
+        for t in ts:  # occurrence-order idf left fold (module docstring)
+            idf = bm25_idf(F.col(f"_df_{tidx[t]}"), F.col("_n"))
+            wcol = idf if wcol is None else wcol + idf
+        wstructs.append(F.struct(F.lit(qid).alias("query_id"), wcol.alias("w")))
+    weights = stats.select(
+        F.col("_avgdl").alias("_avgdl_"),
+        F.explode(F.array(*wstructs)).alias("s"),
+    ).select(
+        F.col("s.query_id").alias("query_id"),
+        F.col("s.w").alias("w"),
+        F.col("_avgdl_").alias("avgdl"),
+    )
+    # Scoring scan: materialize each query's infos array once per row,
+    # then fold — the array column is evaluated a single time per row.
+    scan = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            sloppy_anchor_infos_col(F.col("toks"), ts, slop).alias(
+                f"_info_{qid}"
+            )
+            for qid, ts, slop in qdefs
+        ],
+    )
+    pf_structs = [
+        F.struct(
+            F.lit(qid).alias("query_id"),
+            sloppy_freq_from_infos(F.col(f"_info_{qid}"), slop).alias("pf"),
+        )
+        for qid, _ts, slop in qdefs
+    ]
+    perdoc = (
+        scan.select(
+            "doc_id", "dl", F.explode(F.array(*pf_structs)).alias("s")
+        )
+        .select(
+            "doc_id", "dl", F.col("s.query_id").alias("query_id"),
+            F.col("s.pf").alias("pf"),
+        )
+        .where(F.col("pf") > 0)
+    )
+    return perdoc.join(F.broadcast(weights), "query_id").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("w")
+            * bm25_tf_norm(F.col("pf"), F.col("dl"), F.col("avgdl"))
+        ).alias("score"),
+    )
+
+
 def phrase_scores(
     corpus: DataFrame,
     queries: pd.DataFrame,

@@ -490,3 +490,94 @@ def test_mpp_unmatched_continuation_is_empty(spark, tiny_corpus_pdf):
         [(0, "hotcommon zz", 10)], columns=["query_id", "query_text", "k"]
     )
     assert match_phrase_prefix_scores(corpus, qpdf).count() == 0
+
+
+class TestSloppyPhrase:
+    """N-term sloppy phrase (operators/phrase.sloppy_scores): minimal
+    windows, extra+inversion distance, 1/(dist+1) weighting."""
+
+    def _docs(self, spark):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "alpha beta gamma",       # exact ordered trigram
+                "beta alpha gamma",       # one inversion
+                "alpha xx beta gamma",    # one-gap pair
+                "alpha alpha beta",       # left-minimality case
+                "gamma delta",            # missing terms
+                "alpha beta alpha beta",  # overlapping occurrences
+            ],
+        }))
+
+    def test_slop0_equals_phrase(self, spark):
+        """slop=0 degenerates to the exact ordered phrase — frame-identical
+        to phrase_scores on every doc (test-pins the VERDICT r5 contract)."""
+        import pandas as pd
+
+        from opensearch_jvector_plugin_spark.operators.phrase import (
+            phrase_scores,
+            sloppy_scores,
+        )
+
+        docs = self._docs(spark)
+        sq = pd.DataFrame(
+            {"query_id": [0, 1], "query_text": ["alpha beta", "beta gamma"],
+             "slop": [0, 0]}
+        )
+        pq = pd.DataFrame(
+            {"query_id": [0, 1], "query_text": ["alpha beta", "beta gamma"],
+             "k": [10, 10]}
+        )
+        got = sloppy_scores(docs, sq).toPandas()
+        want = phrase_scores(docs, pq).toPandas()
+        key = ["query_id", "doc_id"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[key + ["score"]].round(9), want[key + ["score"]].round(9)
+        )
+
+    def test_inversion_and_gap_distances(self, spark):
+        """Distance semantics: exact order -> dist 0 (weight 1), one
+        inversion -> dist 1 (weight 1/2), one gap -> dist 1 (weight 1/2);
+        the sloppy frequency feeds tf_norm, so weights order the scores."""
+        import pandas as pd
+
+        from opensearch_jvector_plugin_spark.operators.phrase import (
+            sloppy_anchor_infos_col,
+            sloppy_freq_from_infos,
+        )
+        from opensearch_jvector_plugin_spark.functions.tokenizer import (
+            tokenize_col,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark)
+        infos = sloppy_anchor_infos_col(
+            tokenize_col("text"), ["alpha", "beta"], 2
+        )
+        pf = docs.select(
+            "doc_id",
+            sloppy_freq_from_infos(infos, 2).alias("pf"),
+        ).toPandas().set_index("doc_id")["pf"]
+        assert pf[0] == 1.0          # exact pair
+        assert pf[1] == 0.5          # reversed -> dist 1
+        assert pf[2] == 0.5          # one gap -> dist 1
+        assert pf[3] == 1.0          # minimal window is [1,2] only
+        assert pf[4] == 0.0          # missing term
+        # Two exact occurrences (1.0 each) PLUS the middle reversed pair
+        # "beta alpha" at dist 1 (0.5) — overlap counts, like phraseFreq.
+        assert pf[5] == 2.5
+
+    def test_duplicate_terms_rejected(self, spark):
+        import pytest as _pytest
+
+        from opensearch_jvector_plugin_spark.operators.phrase import (
+            sloppy_anchor_infos_col,
+        )
+        from pyspark.sql import functions as F
+
+        with _pytest.raises(ValueError, match="distinct"):
+            sloppy_anchor_infos_col(F.col("toks"), ["data", "data"], 1)
