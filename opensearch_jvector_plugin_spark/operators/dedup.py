@@ -307,8 +307,21 @@ def simhash_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found via
-    15-bit band collision (exhaustive for max_hamming <= 3)."""
-    fp = simhash(df, text_col, id_col)
+    15-bit band collision (exhaustive for max_hamming <= 3).
+
+    Plan shape (phase-profiled, scripts/profile_simhash.py round 6):
+    - `fp` is PERSISTED before banding: the 4-band union self-joined
+      against itself references the fingerprint subtree 8 times — without
+      the persist that is 8 corpus-scan+aggregate passes (trivial at sf0.1,
+      ruinous at 100 TB).
+    - The hamming cut runs BEFORE the pair dedup, explicitly: on a
+      template-heavy corpus the band join degenerates toward all-pairs
+      (measured: C(5000,2) = 12.5M candidates at sf0.1, every doc colliding
+      in >= 1 band), and deduping 12.5M four-column rows costs ~3x the
+      whole filtered op. Catalyst happens to push a grouping-key filter
+      below the distinct anyway; ordering the plan that way in code makes
+      the property structural, not optimizer-dependent."""
+    fp = simhash(df, text_col, id_col).persist()
     bands = None
     for i in range(SIMHASH_BANDS):
         part = fp.select(
@@ -322,7 +335,7 @@ def simhash_pairs(
         bands = part if bands is None else bands.unionAll(part)
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    out = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -332,19 +345,15 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
+    out._ojs_persisted = fp
+    return out
 
 
 # ------------------------------------------------- embedding cosine near-dup ---
