@@ -1280,6 +1280,70 @@ def q_ann_bruteforce_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
                                metric="innerproduct")
 
 
+# ------------------------------------------------------- script_score ---
+
+
+def q_script_score_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`script_score` with a built-in space function: every document scored
+    with l1Norm against every query through the script-engine surface
+    (KNNScoringScriptEngine.java:50, KNNScoringUtil.java:120) — the
+    exact-scan path a user reaches when no index fits the scoring function.
+    JVM-side Catalyst fold, distance-ascending round-6 rank."""
+    from .operators.script_score import knn_script_score
+
+    return knn_script_score(
+        _emb(spark, sf_dir), _ann_queries(spark, sf_dir),
+        space="l1Norm", k=ANN_K,
+    )
+
+
+def _length_adjusted_ip(pdf):
+    """The demo user scorer for the pandas plug-in point: inner product
+    damped by L1 distance, ip / (1 + l1). Both folds run dimension-at-a-time
+    left-to-right in float64 (array order), so the result is bit-identical
+    to the DuckDB list_reduce twin — the determinism contract documented in
+    operators/script_score.py."""
+    import numpy as np
+
+    V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+    Q = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+    ip = np.zeros(len(pdf), dtype=np.float64)
+    l1 = np.zeros(len(pdf), dtype=np.float64)
+    for d in range(V.shape[1]):
+        ip = ip + V[:, d] * Q[:, d]
+        l1 = l1 + np.abs(V[:, d] - Q[:, d])
+    return ip / (1.0 + l1)
+
+
+def q_script_score_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-pluggable scorer surface (SURVEY §2.9 extension point):
+    an arbitrary Python scoring function applied to Arrow batches of
+    (doc vector, query vector) candidates via script_score's mapInPandas
+    path, then round-6 ranked. The corpus side never shuffles — the query
+    set is broadcast into the crossJoin; the only exchange is the rank
+    window's, on narrow (query_id, doc_id, score) rows."""
+    from .operators.script_score import script_score
+
+    cand = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("embedding").alias("_v"),
+    ).crossJoin(
+        F.broadcast(
+            _ann_queries(spark, sf_dir).select(
+                "query_id", F.col("query_vec").alias("_qv")
+            )
+        )
+    )
+    scored = script_score(cand, _length_adjusted_ip)
+    s6 = F.round(F.col("score"), 6)
+    w = W.partitionBy("query_id").orderBy(s6.desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "rank", "doc_id", s6.alias("score"))
+    )
+
+
 # ------------------------------------------------- transcript flagship ---
 
 _TRANSCRIPT_IDX: dict[str, str] = {}
@@ -3189,6 +3253,46 @@ FROM ranked WHERE rank <= {ANN_K}
 SQL_ANN_BRUTEFORCE_L2 = _bruteforce_sql(_L2SQ, ascending=True)
 SQL_ANN_BRUTEFORCE_IP = _bruteforce_sql(_IP, ascending=False)
 
+_L1 = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> abs({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _script_score_sql(score_expr: str, ascending: bool) -> str:
+    """Twin of the script_score exact-scan surface: doc_id-named output,
+    the given score expression over (e.v, q.qv), round-6 rank."""
+    order = "ASC" if ascending else "DESC"
+    return f"""
+WITH e AS (
+  SELECT vec_id::BIGINT AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id::INT AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.doc_id, {score_expr.format(a="e.v", b="q.qv")} AS score
+  FROM e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) {order}, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+SQL_SCRIPT_SCORE_L1 = _script_score_sql(_L1, ascending=True)
+# the pandas plug-in demo scorer: ip / (1 + l1), higher = better
+SQL_SCRIPT_SCORE_UDF = _script_score_sql(
+    f"(({_IP}) / (1.0 + ({_L1})))", ascending=False
+)
+
 SQL_ANN_IVF = f"""
 WITH e AS (
   SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4002,6 +4106,8 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_bruteforce_l2": q_ann_bruteforce_l2,
     "ann_bruteforce_ip": q_ann_bruteforce_ip,
+    "script_score_l1": q_script_score_l1,
+    "script_score_udf": q_script_score_udf,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
     "ann_ivf_trained_l2": q_ann_ivf_trained_l2,
@@ -4089,6 +4195,8 @@ ORACLES = {
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_bruteforce_l2": SQL_ANN_BRUTEFORCE_L2,
     "ann_bruteforce_ip": SQL_ANN_BRUTEFORCE_IP,
+    "script_score_l1": SQL_SCRIPT_SCORE_L1,
+    "script_score_udf": SQL_SCRIPT_SCORE_UDF,
     "ann_ivf": SQL_ANN_IVF,
     "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
     "ann_ivf_trained_l2": SQL_ANN_IVF_TRAINED_L2,
