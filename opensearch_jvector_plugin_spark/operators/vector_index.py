@@ -240,11 +240,24 @@ def _reconcile(
 # ------------------------------------------------------------ ingest contract
 
 
-def _bucket_row_bytes(dim: int, pq_m: int | None, n_replicas: int) -> int:
+def _bucket_row_bytes(
+    dim: int, pq_m: int | None, n_replicas: int,
+    mb_bits: int | None = None,
+) -> int:
     """Mean on-disk/in-memory bytes per corpus vector in the bucket table:
-    float32 embedding + int8 qvec + scales/norm/id + optional PQ code,
-    times the replication factor."""
-    per_row = 4 * dim + dim + 8 + 8 + 8 + 4 + (int(pq_m) if pq_m else 0)
+    float32 embedding + int8 qvec + scales/norm/id + optional PQ /
+    multi-bit codes, times the replication factor.
+
+    The (5*dim + 28 + pq_m) * replicas base term is a FROZEN contract —
+    the oracle's geometry CTE mirrors it literally (entry_queries.py geo
+    CTE), so auto_n_centroids must never grow extra terms. The opt-in
+    mb_bits term only feeds the circuit-breaker estimate (auto-k builds
+    never pass it)."""
+    per_row = (
+        4 * dim + dim + 8 + 8 + 8 + 4
+        + (int(pq_m) if pq_m else 0)
+        + (-(-(int(mb_bits) * dim) // 8) if mb_bits else 0)
+    )
     return per_row * max(1, int(n_replicas))
 
 
@@ -603,24 +616,72 @@ def hamming_packed(codes: np.ndarray, qcodes: np.ndarray) -> np.ndarray:
     return _POPCOUNT8[x].sum(axis=2)
 
 
+# --- Multi-bit scalar quantization (codec 4 — the x16/x8 compression
+# levels): the MultiBitScalarQuantizer.java analog. For b bits per
+# dimension, b thresholds are trained per dim, spaced symmetrically around
+# the sample mean in units of the per-dim standard deviation
+# (z_i = (2i - (b-1)) / b, so b=1 degenerates EXACTLY to the 1-bit
+# mean-threshold rule, test-pinned). Encoding is the thermometer code (bit
+# i set iff v > threshold_i), so hamming distance between expanded codes
+# equals the L1 distance between quantization levels — the property that
+# makes the same packed-hamming ADC kernel a finer ranker at 2/4 bits.
+
+MB_BITS_SUPPORTED = (2, 4)  # x16 and x8 (CompressionLevel.java:25-30)
+
+
+def mb_z_offsets(bits: int) -> np.ndarray:
+    """(bits,) symmetric std-unit offsets: (2i - (bits-1)) / bits."""
+    i = np.arange(int(bits), dtype=np.float64)
+    return (2.0 * i - (bits - 1)) / float(bits)
+
+
+def train_mb_thresholds(mat: np.ndarray, metric: str, bits: int) -> np.ndarray:
+    """(bits, dim) per-dimension thresholds: mean + z_i * std over the
+    training sample. Cosine trains on the NORMALIZED vectors (the bq/PQ
+    convention); l2/innerproduct on raw."""
+    mat = np.asarray(mat, dtype=np.float64)
+    if metric == "cosine":
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+    mean = mat.mean(axis=0)
+    std = mat.std(axis=0)
+    return mean[None, :] + mb_z_offsets(bits)[:, None] * std[None, :]
+
+
+def quantize_multibit(
+    vecs: np.ndarray, thresholds: np.ndarray, metric: str
+) -> np.ndarray:
+    """(n, ceil(bits*dim/8)) uint8 packed thermometer codes: bit (i, d) set
+    iff v[d] > thresholds[i, d]; bit layout is threshold-major (all of
+    level i's dim bits, then level i+1's), identical for corpus and query
+    sides so packed hamming compares like with like."""
+    vecs = np.asarray(vecs, dtype=np.float64)
+    if metric == "cosine":
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1), 1e-30)[:, None]
+    th = np.asarray(thresholds, dtype=np.float64)  # (bits, dim)
+    bits = (vecs[:, None, :] > th[None, :, :])  # (n, b, dim)
+    return np.packbits(bits.reshape(len(vecs), -1), axis=1)
+
+
 # The reference's compression-level registry (CompressionLevel.java:25-30:
 # x1..x32, each backed by a quantization codec): engine codec per level.
-# x2 (fp16) and the multi-bit scalar levels (x8 = 4-bit, x16 = 2-bit) have
-# no codec in this engine yet — codec_for_compression_level raises with the
-# supported set, mirroring the reference's isSupportedForMode gate.
+# x2 (fp16) has no codec in this engine yet — codec_for_compression_level
+# raises with the supported set, mirroring the reference's
+# isSupportedForMode gate. x8/x16 are the multi-bit scalar levels
+# (MultiBitScalarQuantizer analog), served as codec "mb4"/"mb2" on indexes
+# built with mb_bits=4/2.
 COMPRESSION_LEVELS: dict[str, dict] = {
     "x1": {"bits_per_dim": 32, "codec": "exact"},
     "x2": {"bits_per_dim": 16, "codec": None},
     "x4": {"bits_per_dim": 8, "codec": "sq"},
-    "x8": {"bits_per_dim": 4, "codec": None},
-    "x16": {"bits_per_dim": 2, "codec": None},
+    "x8": {"bits_per_dim": 4, "codec": "mb4"},
+    "x16": {"bits_per_dim": 2, "codec": "mb2"},
     "x32": {"bits_per_dim": 1, "codec": "bq"},
 }
 
 
 def codec_for_compression_level(level: str) -> str:
     """Resolve a reference compression level (x1..x32) to the serving
-    codec. Raises for levels without an engine codec (x2/x8/x16) — the
+    codec. Raises for levels without an engine codec (x2) — the
     CompressionLevel.isSupportedForMode analog."""
     if level not in COMPRESSION_LEVELS:
         raise ValueError(
@@ -733,7 +794,7 @@ def pq_lut(query: np.ndarray, books: np.ndarray, metric: str) -> np.ndarray:
 _BUCKET_SCHEMA = (
     "vec_id LONG, centroid_id INT, replica_rank INT, embedding ARRAY<FLOAT>, "
     "qvec BINARY, qscale DOUBLE, qnorm DOUBLE, pqcode BINARY, pqerr DOUBLE, "
-    "bqcode BINARY"
+    "bqcode BINARY, mbcode BINARY"
 )
 
 
@@ -759,16 +820,19 @@ def _read_sample_sorted(src: DataFrame, n_vecs: int, sample_cap: int):
 
 
 def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
-                         dim: int | None, where: str, bc_bqth=None):
+                         dim: int | None, where: str, bc_bqth=None,
+                         bc_mbth=None):
     """Shared build/append mapInPandas kernel: validate (ingest contract),
     assign each vector to its `reps` nearest frozen centroids, int8-quantize,
     PQ-encode when codebooks exist, bit-pack (codec 3) when 1-bit
-    thresholds exist."""
+    thresholds exist, thermometer-pack (codec 4) when multi-bit thresholds
+    exist."""
 
     def assign_quant(batches):
         cc = bc_cents.value
         bb = bc_books.value
         th = bc_bqth.value if bc_bqth is not None else None
+        mth = bc_mbth.value if bc_mbth is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -790,6 +854,11 @@ def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
                 bqbytes = [r.tobytes() for r in bq]
             else:
                 bqbytes = [None] * len(ids)
+            if mth is not None:
+                mb = quantize_multibit(vecs, mth, metric)
+                mbbytes = [r.tobytes() for r in mb]
+            else:
+                mbbytes = [None] * len(ids)
             embs = list(pdf["embedding"])
             yield pd.DataFrame(
                 {
@@ -807,6 +876,7 @@ def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
                     "pqcode": pbytes * reps,
                     "pqerr": np.tile(pqerr, reps),
                     "bqcode": bqbytes * reps,
+                    "mbcode": mbbytes * reps,
                 }
             )
 
@@ -824,6 +894,7 @@ def build_vector_index(
     metric: str = "cosine",
     n_replicas: int = 1,
     pq_m: int | None = None,
+    mb_bits: int | None = None,
     max_bucket_bytes: int | None = None,
     storage=None,
 ) -> dict:
@@ -886,7 +957,7 @@ def build_vector_index(
 
     cap = resolve_cap("maxBucketBytes", max_bucket_bytes, spark)
     est = (
-        n_vecs * _bucket_row_bytes(dim, pq_m, n_replicas)
+        n_vecs * _bucket_row_bytes(dim, pq_m, n_replicas, mb_bits)
         // max(1, min(n_centroids, max(1, n_vecs)))
     )
     check_bytes(
@@ -946,15 +1017,44 @@ def build_vector_index(
             os.path.join(index_dir, "bq_thresholds.parquet"), tbuf.getvalue()
         )
 
+    # Multi-bit thresholds (codec 4, the x16/x8 levels) — opt-in like PQ:
+    # mb_bits=2 or 4 trains (bits, dim) thresholds on the same sample.
+    mb_th = None
+    if mb_bits is not None:
+        if int(mb_bits) not in MB_BITS_SUPPORTED:
+            raise ValueError(
+                f"mb_bits must be one of {MB_BITS_SUPPORTED} "
+                f"(the x16/x8 compression levels), got {mb_bits}"
+            )
+        if len(smat):
+            mb_th = train_mb_thresholds(smat, metric, int(mb_bits))
+            mbuf = io.BytesIO()
+            pd.DataFrame(
+                {
+                    "level": np.repeat(
+                        np.arange(int(mb_bits), dtype=np.int32), dim
+                    ),
+                    "dim_idx": np.tile(
+                        np.arange(dim, dtype=np.int32), int(mb_bits)
+                    ),
+                    "threshold": mb_th.reshape(-1),
+                }
+            ).to_parquet(mbuf, index=False)
+            storage.put_bytes(
+                os.path.join(index_dir, "mb_thresholds.parquet"),
+                mbuf.getvalue(),
+            )
+
     # One distributed pass: assign + quantize (+ PQ encode), write bucketed.
     bc_cents = spark.sparkContext.broadcast(cents)
     bc_books = spark.sparkContext.broadcast(books)
     bc_bqth = spark.sparkContext.broadcast(bq_th)
+    bc_mbth = spark.sparkContext.broadcast(mb_th)
     reps = int(n_replicas)
 
     assign_quant = _assign_quant_kernel(
         bc_cents, bc_books, metric, reps, dim or None, "build_vector_index",
-        bc_bqth=bc_bqth,
+        bc_bqth=bc_bqth, bc_mbth=bc_mbth,
     )
     buckets = os.path.join(index_dir, "buckets")
     src.mapInPandas(assign_quant, _BUCKET_SCHEMA).write.partitionBy(
@@ -975,6 +1075,9 @@ def build_vector_index(
         # 1-bit codec trained: bq_thresholds.parquet + bqcode column exist
         # (absent in pre-round-6 indexes — codec="bq" on those raises).
         "bq": bool(bq_th is not None),
+        # multi-bit codec trained (x16/x8): mb_thresholds.parquet + mbcode
+        # exist; None = not built with mb (codec "mb2"/"mb4" raises).
+        "mb_bits": int(mb_bits) if mb_th is not None else None,
         "seed": int(seed),
         "sample_stride": int(stride),
         "trained_on": int(len(sample_pdf)),
@@ -1063,7 +1166,8 @@ def append_vectors(
     )
     books = None
     bq_th = None
-    if pq_m is not None or manifest.get("bq"):
+    mb_th = None
+    if pq_m is not None or manifest.get("bq") or manifest.get("mb_bits"):
         handle = load_vector_index(index_dir, storage=storage)
         if pq_m is not None:
             books = handle.pq_codebooks()
@@ -1071,6 +1175,8 @@ def append_vectors(
             # Frozen trained state, like centroids/codebooks: appended
             # vectors bit-pack against the BUILD-time thresholds.
             bq_th = handle.bq_thresholds()
+        if manifest.get("mb_bits"):
+            mb_th = handle.mb_thresholds()
 
     src = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -1085,7 +1191,7 @@ def append_vectors(
     cap = resolve_cap("maxBucketBytes", None, spark)
     est = (
         (int(manifest["n_vecs"]) + int(n_new))
-        * _bucket_row_bytes(dim or 0, pq_m, reps)
+        * _bucket_row_bytes(dim or 0, pq_m, reps, manifest.get("mb_bits"))
         // max(1, len(cents))
     )
     check_bytes(
@@ -1103,9 +1209,10 @@ def append_vectors(
     bc_cents = spark.sparkContext.broadcast(cents)
     bc_books = spark.sparkContext.broadcast(books)
     bc_bqth = spark.sparkContext.broadcast(bq_th)
+    bc_mbth = spark.sparkContext.broadcast(mb_th)
     assign_quant = _assign_quant_kernel(
         bc_cents, bc_books, metric, reps, dim, "append_vectors",
-        bc_bqth=bc_bqth,
+        bc_bqth=bc_bqth, bc_mbth=bc_mbth,
     )
     staging = _staging_path(index_dir, batch_id)
     storage.rmtree(staging)
@@ -1346,6 +1453,27 @@ class VectorIndexHandle:
             ).sort_values("dim_idx")
             self._bqth = tpdf["threshold"].to_numpy(np.float64)
         return self._bqth
+
+    @property
+    def mb_bits(self) -> int | None:
+        return self.manifest.get("mb_bits")
+
+    def mb_thresholds(self) -> np.ndarray:
+        """(mb_bits, dim) multi-bit thresholds persisted at build time."""
+        if not self.mb_bits:
+            raise ValueError(
+                "index was built without multi-bit codes (mb_bits=None); "
+                "rebuild with mb_bits=2 or 4 to serve codec='mb2'/'mb4'"
+            )
+        if getattr(self, "_mbth", None) is None:
+            tpdf = pd.read_parquet(
+                os.path.join(self.index_dir, "mb_thresholds.parquet")
+            ).sort_values(["level", "dim_idx"])
+            bits = int(self.mb_bits)
+            self._mbth = (
+                tpdf["threshold"].to_numpy(np.float64).reshape(bits, -1)
+            )
+        return self._mbth
 
     @property
     def buckets_path(self) -> str:
@@ -1823,6 +1951,10 @@ def _adc_first_pass(
         # 1 bit/dim: the first pass reads ceil(dim/8) bytes per vector —
         # 1/32 of the float32 scan, the x32 read-volume win.
         first_cols = ["centroid_id", "vec_id", "bqcode"]
+    elif codec in ("mb2", "mb4"):
+        # 2/4 bits/dim thermometer codes (x16/x8): same packed-hamming
+        # kernel as bq, finer level resolution.
+        first_cols = ["centroid_id", "vec_id", "mbcode"]
     else:
         first_cols = ["centroid_id", "vec_id", "qvec", "qscale", "qnorm"]
 
@@ -1855,12 +1987,13 @@ def _adc_first_pass(
                         sims[:, j] = lut_all[qi][rows[None, :], codes].sum(
                             axis=1
                         )
-                elif cdc == "bq":
-                    # lut_all carries the queries' packed 1-bit codes:
+                elif cdc in ("bq", "mb2", "mb4"):
+                    # lut_all carries the queries' packed bit codes:
                     # approx = -hamming (bigger = closer in every space).
+                    code_col = "bqcode" if cdc == "bq" else "mbcode"
                     nb = lut_all.shape[1]
                     codes = np.frombuffer(
-                        b"".join(pdf["bqcode"]), dtype=np.uint8
+                        b"".join(pdf[code_col]), dtype=np.uint8
                     ).reshape(len(pdf), nb)
                     sims = -hamming_packed(codes, lut_all[qsel]).astype(
                         np.float64
@@ -1954,8 +2087,13 @@ def ivf_search(
     1 bit/dim mean-threshold binary quantization — the first pass reads the
     ceil(dim/8)-byte bqcode (1/32 of float32) and ranks by hamming distance
     between the query's and vectors' bit patterns (XOR + popcount), then
-    the exact rerank recovers true scores."""
-    if codec not in ("sq", "pq", "bq"):
+    the exact rerank recovers true scores.
+    codec="mb2"/"mb4" (codec 4, the x16/x8 levels — the
+    MultiBitScalarQuantizer analog): 2/4-bit thermometer codes; the first
+    pass reads ceil(bits*dim/8) bytes and ranks by the same packed hamming
+    (which equals L1 distance between quantization levels), then exact
+    rerank. Requires the index built with the matching mb_bits."""
+    if codec not in ("sq", "pq", "bq", "mb2", "mb4"):
         raise ValueError(f"unknown codec {codec!r}")
     if codec == "pq" and index.pq_m is None:
         raise ValueError("index was built without PQ codes (pq_m=None)")
@@ -1964,6 +2102,14 @@ def ivf_search(
             "index was built without 1-bit codes (pre-round-6 build); "
             "rebuild to serve codec='bq'"
         )
+    if codec in ("mb2", "mb4"):
+        want_bits = int(codec[2:])
+        if index.mb_bits != want_bits:
+            raise ValueError(
+                f"codec {codec!r} needs an index built with "
+                f"mb_bits={want_bits}; this index has "
+                f"mb_bits={index.mb_bits}"
+            )
     n_vecs = int(index.manifest.get("n_vecs", 0))
     if approximate_threshold is not None and n_vecs < int(
         approximate_threshold
@@ -2015,6 +2161,9 @@ def ivf_search(
     elif codec == "bq":
         # The queries' packed 1-bit codes ride the lut slot (nq, ceil(d/8)).
         luts = quantize_binary(qmat, index.bq_thresholds(), metric)
+    elif codec in ("mb2", "mb4"):
+        # The queries' packed thermometer codes (nq, ceil(bits*d/8)).
+        luts = quantize_multibit(qmat, index.mb_thresholds(), metric)
 
     allowed_sorted = (
         np.sort(np.asarray(allowed_ids, dtype=np.int64))

@@ -584,8 +584,8 @@ def test_bq_codec_recall_and_bytes(spark, tmp_path):
 
 
 def test_compression_level_registry():
-    """CompressionLevel.java:25-30 analog: x1..x32 registered; x1/x4/x32
-    resolve to engine codecs, unsupported levels raise with the supported
+    """CompressionLevel.java:25-30 analog: x1..x32 registered; every level
+    but fp16 (x2) resolves to an engine codec; x2 raises with the supported
     set."""
     from opensearch_jvector_plugin_spark.operators.vector_index import (
         COMPRESSION_LEVELS,
@@ -595,12 +595,88 @@ def test_compression_level_registry():
     assert set(COMPRESSION_LEVELS) == {"x1", "x2", "x4", "x8", "x16", "x32"}
     assert codec_for_compression_level("x1") == "exact"
     assert codec_for_compression_level("x4") == "sq"
+    assert codec_for_compression_level("x8") == "mb4"
+    assert codec_for_compression_level("x16") == "mb2"
     assert codec_for_compression_level("x32") == "bq"
-    for lv in ("x2", "x8", "x16"):
-        with pytest.raises(ValueError, match="supported"):
-            codec_for_compression_level(lv)
+    with pytest.raises(ValueError, match="supported"):
+        codec_for_compression_level("x2")
     with pytest.raises(ValueError, match="unknown"):
         codec_for_compression_level("x64")
+
+
+def test_mb_one_bit_degenerates_to_bq_rule():
+    """z_i = (2i - (b-1)) / b: at b=1 the single offset is 0, so the
+    multi-bit thresholds are EXACTLY the 1-bit mean thresholds — the two
+    quantizers are one training rule (OneBitScalarQuantizer is
+    MultiBitScalarQuantizer at b=1)."""
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        train_bq_thresholds,
+        train_mb_thresholds,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(200, 16))
+    for metric in ("cosine", "l2"):
+        mb = train_mb_thresholds(mat, metric, 1)
+        assert mb.shape == (1, 16)
+        np.testing.assert_array_equal(mb[0], train_bq_thresholds(mat, metric))
+
+
+def test_mb_codec_recall_bytes_and_gates(spark, tmp_path):
+    """Codec 4 (multi-bit thermometer quantization — the x16/x8 levels,
+    MultiBitScalarQuantizer analog): build with mb_bits=2, serve
+    codec='mb2' (hamming ADC over 2-bit codes + exact rerank) at >= the
+    1-bit recall gate; mbcode is ceil(2*dim/8) bytes (1/16 of float32);
+    codec='mb4' on an mb_bits=2 index raises; an index built without
+    mb_bits refuses both."""
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        ivf_search as ivf_q,
+    )
+
+    emb = spark.read.parquet(EMB)
+    d = str(tmp_path / "vidx_mb")
+    manifest = build_vector_index(emb, d, n_centroids=16, mb_bits=2)
+    assert manifest["mb_bits"] == 2
+    assert os.path.exists(os.path.join(d, "mb_thresholds.parquet"))
+    idx = load_vector_index(d)
+    assert idx.mb_thresholds().shape[0] == 2
+    q = queries_df(spark)
+    exact = ivf_search_exact(spark, idx, q, k=10, nprobe=4).toPandas()
+    mb_res = ivf_q(spark, idx, q.toPandas(), k=10, nprobe=4,
+                   codec="mb2", approximate_threshold=None).toPandas()
+    hits = sum(
+        len(set(exact[exact.query_id == qi]["vec_id"])
+            & set(mb_res[mb_res.query_id == qi]["vec_id"]))
+        for qi in range(5)
+    )
+    assert hits / 50 >= 0.9, f"mb2 recall {hits / 50}"
+
+    one = pd.read_parquet(
+        next(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(os.path.join(d, "buckets"))
+            for f in fs if f.endswith(".parquet")
+        )
+    )
+    # dim=64: 2 bits/dim -> 16 bytes/code (1/16 of the 256-byte float32).
+    assert all(len(b) == 16 for b in one["mbcode"])
+
+    with pytest.raises(ValueError, match="mb_bits=4"):
+        ivf_q(spark, idx, q.toPandas(), k=10, nprobe=4, codec="mb4",
+              approximate_threshold=None)
+
+    d2 = str(tmp_path / "vidx_nomb")
+    build_vector_index(emb, d2, n_centroids=16)
+    idx2 = load_vector_index(d2)
+    with pytest.raises(ValueError, match="mb_bits"):
+        ivf_q(spark, idx2, q.toPandas(), k=10, nprobe=4, codec="mb2",
+              approximate_threshold=None)
+    with pytest.raises(ValueError, match="mb_bits"):
+        idx2.mb_thresholds()
+
+    with pytest.raises(ValueError, match="mb_bits must be one of"):
+        build_vector_index(emb, str(tmp_path / "bad"), n_centroids=8,
+                           mb_bits=3)
 
 
 def test_bq_append_uses_frozen_thresholds(spark, tmp_path):
