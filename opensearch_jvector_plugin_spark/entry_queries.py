@@ -1280,6 +1280,41 @@ def q_ann_bruteforce_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
                                metric="innerproduct")
 
 
+# -------------------------------------------------------- multimodal ---
+
+MEDIA_N_ASSETS = 60
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation over REAL decodable payloads (round 6 — PPM /
+    PCM WAV / Y4M synthesized deterministically, decoded by the
+    pure-numpy codecs in operators/media_codecs.py): one row per asset
+    with a kind-specific REAL signal — image = luma mean of the decoded
+    pixels, audio = FFT spectral centroid Hz, video = count of actually
+    sampled frames. No SQL twin (decode is not SQL-expressible); the
+    driver records the rows-only check and the decode math is pinned in
+    test_media_codecs.py / test_streaming_multimodal.py."""
+    from .operators import multimodal as mm
+
+    assets = mm.synthesize_assets(spark, MEDIA_N_ASSETS)
+    img = mm.image_features(assets).select(
+        "asset_id",
+        F.lit("image").alias("kind"),
+        F.round(F.element_at("features", 1), 6).alias("signal"),
+    )
+    aud = mm.audio_features(assets).select(
+        "asset_id", F.lit("audio").alias("kind"),
+        F.col("centroid_hz").alias("signal"),
+    )
+    vid = (
+        mm.frame_sample(assets, every_ms=100)
+        .groupBy("asset_id")
+        .agg(F.count("*").cast("double").alias("signal"))
+        .select("asset_id", F.lit("video").alias("kind"), "signal")
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
 # ------------------------------------------------------- script_score ---
 
 
@@ -4108,6 +4143,7 @@ QUERIES = {
     "ann_bruteforce_ip": q_ann_bruteforce_ip,
     "script_score_l1": q_script_score_l1,
     "script_score_udf": q_script_score_udf,
+    "media_pipeline": q_media_pipeline,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
     "ann_ivf_trained_l2": q_ann_ivf_trained_l2,

@@ -98,38 +98,106 @@ def test_multimodal_plumbing(spark):
     assets = synthesize_assets(spark, 30)
     meta = extract_metadata(assets).toPandas().sort_values("asset_id")
     assert len(meta) == 30
-    # Magic sniffing agrees with declared kind on synthetic assets.
+    # Magic sniffing agrees with declared kind on synthetic assets —
+    # which are now REAL files (PPM / PCM WAV / Y4M).
     assert (meta["kind_declared"] == meta["kind_detected"]).all()
     assert (meta["n_bytes"] > 8).all()
 
+    # Real image features over the image assets only (ids % 3 == 0).
     feats = image_features(assets).toPandas()
-    assert len(feats) == 30
+    assert len(feats) == 10
     assert all(len(f) == 8 for f in feats["features"])
+    # Luma statistics land in sane ranges (real decode, not a hash fake).
+    first = [list(f) for f in feats.sort_values("asset_id")["features"]]
+    assert all(0.0 <= f[0] <= 1.0 and 0.0 <= f[1] <= 0.5 for f in first)
     # Deterministic across evaluations.
     feats2 = image_features(assets).toPandas()
-    a = [list(f) for f in feats.sort_values("asset_id")["features"]]
     b = [list(f) for f in feats2.sort_values("asset_id")["features"]]
-    assert a == b
+    assert first == b
 
-    frames = frame_sample(assets, every_ms=10_000).toPandas()
-    assert (frames["offset_ms"] == frames["frame_idx"] * 10_000).all()
+    # Real frame sampling: synth videos run 10 fps, nf = 2 + id % 5
+    # frames -> duration nf*100 ms -> nf samples at every_ms=100, with
+    # REAL frame indexes and 4x4 luma thumbnails.
+    frames = frame_sample(assets, every_ms=100).toPandas()
     n_videos = (meta["kind_declared"] == "video").sum()
     assert frames["asset_id"].nunique() == n_videos
+    assert (frames["offset_ms"] % 100 == 0).all()
+    assert (frames["frame_idx"] == frames["offset_ms"] // 100).all()
+    assert all(len(t) == 16 for t in frames["thumb"])
+    assert all(0 <= x <= 255 for t in frames["thumb"] for x in t)
+    per_video = frames.groupby("asset_id").size()
+    for aid, cnt in per_video.items():
+        assert cnt == 2 + aid % 5
 
+    # The legacy fake stub still runs (plumbing without decodable bytes).
     fake_pixels = decode_image(assets, fake=True).toPandas()
     assert all(len(p) == 16 for p in fake_pixels["pixels"])
 
+    # REAL decode works WITHOUT Pillow on the native formats.
+    real_pixels = decode_image(assets, fake=False).toPandas()
+    assert len(real_pixels) == 10
+    assert all(len(p) == 16 for p in real_pixels["pixels"])
+    assert all(0 <= x <= 255 for p in real_pixels["pixels"] for x in p)
+
+
+def test_audio_features_real(spark):
+    """WAV decode is real: duration matches the synthesized length and the
+    spectral centroid sits between the two mixed sine frequencies."""
     from opensearch_jvector_plugin_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    assets = synthesize_assets(spark, 30)
+    af = audio_features(assets).toPandas().sort_values("asset_id")
+    assert len(af) == 10  # ids % 3 == 1
+    for r in af.itertuples(index=False):
+        i = int(r.asset_id)
+        want_dur = 0.25 + (i % 4) * 0.25
+        assert abs(r.duration_s - want_dur) < 1e-6
+        f0 = 220.0 * (1 + (i % 6))
+        assert f0 * 0.5 < r.centroid_hz < f0 * 2.5, (i, f0, r.centroid_hz)
+        assert 0.2 < r.rms < 0.6
+        assert 0.0 < r.peak <= 0.71
+
+
+def test_image_phash_real(spark):
+    """The DCT pHash is a real content hash: identical images collide,
+    structurally different synth images do not all collide."""
+    from opensearch_jvector_plugin_spark.operators.multimodal import (
+        image_phash,
+    )
+
+    assets = synthesize_assets(spark, 30)
+    ph = image_phash(assets).toPandas().sort_values("asset_id")
+    assert len(ph) == 10
+    ph2 = image_phash(assets).toPandas().sort_values("asset_id")
+    assert list(ph["phash"]) == list(ph2["phash"])
+    assert ph["phash"].nunique() > 1
+
+
+def test_decode_unknown_format_raises_without_pil(spark):
+    """A compressed format (PNG) without Pillow still fails honestly with
+    the install hint — the numpy codecs only cover PPM/BMP."""
+    from opensearch_jvector_plugin_spark.operators.multimodal import (
+        ASSET_SCHEMA,
         _pil_image,
     )
 
-    if _pil_image() is None:
-        # Without Pillow the real-decode path must fail honestly at the
-        # kernel, with the install hint.
-        with pytest.raises(
-            Exception, match="NotImplementedError|real image decode"
-        ):
-            decode_image(assets, fake=False).collect()
+    if _pil_image() is not None:
+        pytest.skip("Pillow installed; the fallback covers PNG here")
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1],
+            "kind": ["image"],
+            "payload": [bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)],
+            "width": [8],
+            "height": [8],
+            "duration_ms": [None],
+        }
+    )
+    assets = spark.createDataFrame(pdf, ASSET_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        decode_image(assets, fake=False).collect()
 
 
 def test_decode_image_real_with_pil(spark):
