@@ -1678,6 +1678,23 @@ def q_transcript_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_transcript_terms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms bucket + stats sub-aggregation (the canonical OpenSearch agg
+    composition) over the transcript BM25 hit set: role buckets, each with
+    count/min/max/sum/avg of turn_idx inside the bucket
+    (operators/aggs.terms_stats_agg — ONE hit-sized groupBy)."""
+    from .operators.aggs import terms_stats_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    out = terms_stats_agg(
+        hits, _transcript_attrs(spark), "role", "turn_idx", size=3
+    )
+    return out.select(
+        "query_id", "key", "doc_count", "m_count", "m_min", "m_max",
+        F.round("m_sum", 6).alias("m_sum"), F.round("m_avg", 6).alias("m_avg"),
+    )
+
+
 def q_transcript_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-interval date_histogram (min_doc_count=0 gap-filled) over the
     transcript BM25 hit set; bucket_ts = epoch-second bucket start."""
@@ -1808,6 +1825,77 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_disc_price"),
             F.count("*").cast("long").alias("count_order"),
         )
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) over the harness lineitem.
+    The one global sum runs in DECIMAL so Spark's partial-aggregate order
+    and DuckDB's serial order produce the IDENTICAL value (double
+    summation order differs across engines; decimal addition is exact)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    dec = "decimal(18,6)"
+    rev = F.col("l_extendedprice").cast(dec) * F.col("l_discount").cast(dec)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+TPCH_Q3_CUTOFF = "1998-06-15"
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) adapted to the harness schema (no
+    o_shippriority column): top-10 unshipped orders by revenue for the
+    BUILDING segment. The customer and orders sides are broadcast-pruned
+    before the lineitem join; revenue sums in DECIMAL (exact on both
+    engines); ties break (revenue desc, orderkey asc)."""
+    cutoff = TPCH_Q3_CUTOFF
+    cust = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .where(F.col("o_orderdate") < F.lit(cutoff))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    dec = "decimal(18,6)"
+    rev = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    agg = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    r6 = F.round(F.col("_rev").cast("double"), 6)
+    # Global top-10 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no single-partition window over the full aggregate), then rank
+    # the <= 10 survivors.
+    top = agg.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        r6.alias("revenue"),
+    ).orderBy(F.desc("revenue"), F.asc("orderkey")).limit(10)
+    w = W.orderBy(F.desc("revenue"), F.asc("orderkey"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "orderkey", "orderdate", "revenue"
     )
 
 
@@ -3713,6 +3801,26 @@ WHERE rn <= (CASE field {cut} END)
 """
 
 
+def _terms_stats_sql() -> str:
+    return f"""{_agg_prefix_sql()},
+b AS (
+  SELECT query_id, role AS key, count(*)::BIGINT AS doc_count,
+         count(turn_idx)::BIGINT AS m_count,
+         min(turn_idx)::DOUBLE AS m_min, max(turn_idx)::DOUBLE AS m_max,
+         round(sum(turn_idx)::DOUBLE, 6) AS m_sum,
+         round(avg(turn_idx), 6) AS m_avg
+  FROM j WHERE role IS NOT NULL GROUP BY query_id, role
+),
+rankedb AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count DESC, key ASC
+  ) AS rn FROM b
+)
+SELECT query_id, key, doc_count, m_count, m_min, m_max, m_sum, m_avg
+FROM rankedb WHERE rn <= 3
+"""
+
+
 def _date_histogram_sql() -> str:
     s = DATE_HISTOGRAM_INTERVAL_S
     return f"""{_agg_prefix_sql()},
@@ -3845,6 +3953,7 @@ def _range_agg_sql() -> str:
 
 
 SQL_TRANSCRIPT_TERMS_AGG = _terms_agg_sql()
+SQL_TRANSCRIPT_TERMS_STATS = _terms_stats_sql()
 SQL_TRANSCRIPT_DATE_HISTOGRAM = _date_histogram_sql()
 SQL_TRANSCRIPT_STATS_AGG = _stats_agg_sql()
 SQL_TRANSCRIPT_TOP_HITS = _top_hits_sql()
@@ -4064,6 +4173,47 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+# DECIMAL sums: double summation order differs between Spark's partial
+# aggregates and DuckDB's serial scan; decimal addition is exact, so both
+# engines produce the identical value before the round-6 projection.
+SQL_TPCH_Q6 = """
+SELECT round(
+         (sum(l_extendedprice::DECIMAL(18,6) * l_discount::DECIMAL(18,6)))
+           ::DOUBLE, 6) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+SQL_TPCH_Q3 = f"""
+WITH cust AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+o AS (
+  SELECT o_orderkey, o_orderdate
+  FROM orders JOIN cust ON o_custkey = c_custkey
+  WHERE o_orderdate < TIMESTAMP '{TPCH_Q3_CUTOFF}'
+),
+agg AS (
+  SELECT l_orderkey AS orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         round((sum(l_extendedprice::DECIMAL(18,6)
+                    * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))))
+                 ::DOUBLE, 6) AS revenue
+  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+  WHERE l_shipdate > TIMESTAMP '{TPCH_Q3_CUTOFF}'
+  GROUP BY l_orderkey, o_orderdate
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, orderkey ASC) AS rank
+  FROM agg
+)
+SELECT rank::INT AS rank, orderkey, orderdate, revenue
+FROM ranked WHERE rank <= 10
+"""
+
 SQL_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, event_id, ts, value,
@@ -4161,6 +4311,7 @@ QUERIES = {
     "transcript_decay": q_transcript_decay,
     "transcript_significant_terms": q_transcript_significant_terms,
     "transcript_terms_agg": q_transcript_terms_agg,
+    "transcript_terms_stats": q_transcript_terms_stats,
     "transcript_date_histogram": q_transcript_date_histogram,
     "transcript_stats_agg": q_transcript_stats_agg,
     "transcript_top_hits": q_transcript_top_hits,
@@ -4170,6 +4321,8 @@ QUERIES = {
     "transcript_range_agg": q_transcript_range_agg,
     "topk_per_group": q_topk_per_group,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
     "sessionize": q_sessionize,
 }
 
@@ -4252,6 +4405,7 @@ ORACLES = {
     "transcript_decay": SQL_TRANSCRIPT_DECAY,
     "transcript_significant_terms": SQL_TRANSCRIPT_SIGNIFICANT_TERMS,
     "transcript_terms_agg": SQL_TRANSCRIPT_TERMS_AGG,
+    "transcript_terms_stats": SQL_TRANSCRIPT_TERMS_STATS,
     "transcript_date_histogram": SQL_TRANSCRIPT_DATE_HISTOGRAM,
     "transcript_stats_agg": SQL_TRANSCRIPT_STATS_AGG,
     "transcript_top_hits": SQL_TRANSCRIPT_TOP_HITS,
@@ -4261,6 +4415,8 @@ ORACLES = {
     "transcript_range_agg": SQL_TRANSCRIPT_RANGE_AGG,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q6": SQL_TPCH_Q6,
     "sessionize": SQL_SESSIONIZE,
 }
 

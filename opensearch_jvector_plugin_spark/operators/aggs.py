@@ -61,6 +61,53 @@ def terms_agg(
     )
 
 
+def terms_stats_agg(
+    hits: DataFrame,
+    attrs: DataFrame,
+    field: str,
+    metric_field: str,
+    size: int,
+) -> DataFrame:
+    """terms bucket + stats SUB-aggregation (the canonical OpenSearch agg
+    composition: `"aggs": {"by_field": {"terms": ...,"aggs": {"m":
+    {"stats": ...}}}}`): per-query buckets over `field` with
+    count/min/max/sum/avg of `metric_field` INSIDE each bucket, same
+    (doc_count desc, key asc) top-`size` cut as the plain terms agg.
+
+    Semantics pinned to OpenSearch: NULL bucket keys are skipped; NULL
+    metric values still count toward the bucket's doc_count but are
+    excluded from the sub-stats (m_count can be < doc_count) — exactly
+    Spark's null-ignoring aggregate behavior, so the whole composition is
+    ONE hit-sized groupBy after the broadcast attribute join."""
+    if size <= 0:
+        raise ValueError(f"terms agg size must be positive, got {size}")
+    m = F.col(metric_field)
+    counts = (
+        _hit_attrs(hits, attrs, [field, metric_field])
+        .where(F.col(field).isNotNull())
+        .groupBy("query_id", F.col(field).alias("key"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.count(m).alias("m_count"),
+            F.min(m).cast("double").alias("m_min"),
+            F.max(m).cast("double").alias("m_max"),
+            F.sum(m).cast("double").alias("m_sum"),
+            F.avg(m).cast("double").alias("m_avg"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("doc_count").desc(), F.col("key").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= size)
+        .select(
+            "query_id", "key", "doc_count", "m_count",
+            "m_min", "m_max", "m_sum", "m_avg",
+        )
+    )
+
+
 def date_histogram_agg(
     hits: DataFrame,
     attrs: DataFrame,

@@ -663,15 +663,14 @@ def quantize_multibit(
 
 
 # The reference's compression-level registry (CompressionLevel.java:25-30:
-# x1..x32, each backed by a quantization codec): engine codec per level.
-# x2 (fp16) has no codec in this engine yet — codec_for_compression_level
-# raises with the supported set, mirroring the reference's
-# isSupportedForMode gate. x8/x16 are the multi-bit scalar levels
-# (MultiBitScalarQuantizer analog), served as codec "mb4"/"mb2" on indexes
-# built with mb_bits=4/2.
+# x1..x32, each backed by a quantization codec): engine codec per level —
+# every level is served (round 6). x2 = half-precision copies (training-
+# free, opt-in at build: fp16=True), x4 = int8 SQ, x8/x16 = the multi-bit
+# scalar levels (MultiBitScalarQuantizer analog, served as codec
+# "mb4"/"mb2" on indexes built with mb_bits=4/2), x32 = 1-bit binary.
 COMPRESSION_LEVELS: dict[str, dict] = {
     "x1": {"bits_per_dim": 32, "codec": "exact"},
-    "x2": {"bits_per_dim": 16, "codec": None},
+    "x2": {"bits_per_dim": 16, "codec": "fp16"},
     "x4": {"bits_per_dim": 8, "codec": "sq"},
     "x8": {"bits_per_dim": 4, "codec": "mb4"},
     "x16": {"bits_per_dim": 2, "codec": "mb2"},
@@ -794,7 +793,7 @@ def pq_lut(query: np.ndarray, books: np.ndarray, metric: str) -> np.ndarray:
 _BUCKET_SCHEMA = (
     "vec_id LONG, centroid_id INT, replica_rank INT, embedding ARRAY<FLOAT>, "
     "qvec BINARY, qscale DOUBLE, qnorm DOUBLE, pqcode BINARY, pqerr DOUBLE, "
-    "bqcode BINARY, mbcode BINARY"
+    "bqcode BINARY, mbcode BINARY, fp16code BINARY"
 )
 
 
@@ -821,12 +820,13 @@ def _read_sample_sorted(src: DataFrame, n_vecs: int, sample_cap: int):
 
 def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
                          dim: int | None, where: str, bc_bqth=None,
-                         bc_mbth=None):
+                         bc_mbth=None, fp16: bool = False):
     """Shared build/append mapInPandas kernel: validate (ingest contract),
     assign each vector to its `reps` nearest frozen centroids, int8-quantize,
     PQ-encode when codebooks exist, bit-pack (codec 3) when 1-bit
     thresholds exist, thermometer-pack (codec 4) when multi-bit thresholds
-    exist."""
+    exist, store half-precision copies (the x2 level, training-free) when
+    fp16 is on."""
 
     def assign_quant(batches):
         cc = bc_cents.value
@@ -859,6 +859,11 @@ def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
                 mbbytes = [r.tobytes() for r in mb]
             else:
                 mbbytes = [None] * len(ids)
+            if fp16:
+                h = vecs.astype(np.float16)
+                hbytes = [r.tobytes() for r in h]
+            else:
+                hbytes = [None] * len(ids)
             embs = list(pdf["embedding"])
             yield pd.DataFrame(
                 {
@@ -877,6 +882,7 @@ def _assign_quant_kernel(bc_cents, bc_books, metric: str, reps: int,
                     "pqerr": np.tile(pqerr, reps),
                     "bqcode": bqbytes * reps,
                     "mbcode": mbbytes * reps,
+                    "fp16code": hbytes * reps,
                 }
             )
 
@@ -895,6 +901,7 @@ def build_vector_index(
     n_replicas: int = 1,
     pq_m: int | None = None,
     mb_bits: int | None = None,
+    fp16: bool = False,
     max_bucket_bytes: int | None = None,
     storage=None,
 ) -> dict:
@@ -1054,7 +1061,7 @@ def build_vector_index(
 
     assign_quant = _assign_quant_kernel(
         bc_cents, bc_books, metric, reps, dim or None, "build_vector_index",
-        bc_bqth=bc_bqth, bc_mbth=bc_mbth,
+        bc_bqth=bc_bqth, bc_mbth=bc_mbth, fp16=bool(fp16),
     )
     buckets = os.path.join(index_dir, "buckets")
     src.mapInPandas(assign_quant, _BUCKET_SCHEMA).write.partitionBy(
@@ -1078,6 +1085,8 @@ def build_vector_index(
         # multi-bit codec trained (x16/x8): mb_thresholds.parquet + mbcode
         # exist; None = not built with mb (codec "mb2"/"mb4" raises).
         "mb_bits": int(mb_bits) if mb_th is not None else None,
+        # half-precision copies stored (x2): fp16code column exists.
+        "fp16": bool(fp16),
         "seed": int(seed),
         "sample_stride": int(stride),
         "trained_on": int(len(sample_pdf)),
@@ -1213,6 +1222,7 @@ def append_vectors(
     assign_quant = _assign_quant_kernel(
         bc_cents, bc_books, metric, reps, dim, "append_vectors",
         bc_bqth=bc_bqth, bc_mbth=bc_mbth,
+        fp16=bool(manifest.get("fp16")),
     )
     staging = _staging_path(index_dir, batch_id)
     storage.rmtree(staging)
@@ -1955,6 +1965,9 @@ def _adc_first_pass(
         # 2/4 bits/dim thermometer codes (x16/x8): same packed-hamming
         # kernel as bq, finer level resolution.
         first_cols = ["centroid_id", "vec_id", "mbcode"]
+    elif codec == "fp16":
+        # half-precision copies (x2): the first pass reads 2*dim bytes.
+        first_cols = ["centroid_id", "vec_id", "fp16code"]
     else:
         first_cols = ["centroid_id", "vec_id", "qvec", "qscale", "qnorm"]
 
@@ -1998,6 +2011,24 @@ def _adc_first_pass(
                     sims = -hamming_packed(codes, lut_all[qsel]).astype(
                         np.float64
                     )
+                elif cdc == "fp16":
+                    # half-precision copies: near-exact scoring from
+                    # 2*dim bytes/vector (the x2 read-volume trade).
+                    v = np.frombuffer(
+                        b"".join(pdf["fp16code"]), dtype="<f2"
+                    ).reshape(len(pdf), d).astype(np.float64)
+                    if met == "cosine":
+                        nv = np.maximum(np.linalg.norm(v, axis=1), 1e-30)
+                        sims = (v @ qnv[qsel].T) / nv[:, None]
+                    elif met == "innerproduct":
+                        sims = v @ qraw[qsel].T
+                    else:  # l2 / hamming: -(||v||^2 - 2 v.q + ||q||^2)
+                        qv2 = (qraw[qsel] * qraw[qsel]).sum(axis=1)
+                        sims = -(
+                            (v * v).sum(axis=1)[:, None]
+                            - 2.0 * (v @ qraw[qsel].T)
+                            + qv2[None, :]
+                        )
                 else:
                     qv = np.frombuffer(
                         b"".join(pdf["qvec"]), dtype=np.int8
@@ -2092,8 +2123,11 @@ def ivf_search(
     MultiBitScalarQuantizer analog): 2/4-bit thermometer codes; the first
     pass reads ceil(bits*dim/8) bytes and ranks by the same packed hamming
     (which equals L1 distance between quantization levels), then exact
-    rerank. Requires the index built with the matching mb_bits."""
-    if codec not in ("sq", "pq", "bq", "mb2", "mb4"):
+    rerank. Requires the index built with the matching mb_bits.
+    codec="fp16" (the x2 level): near-exact first pass over stored
+    half-precision copies (2*dim bytes/vector); requires fp16=True at
+    build."""
+    if codec not in ("sq", "pq", "bq", "mb2", "mb4", "fp16"):
         raise ValueError(f"unknown codec {codec!r}")
     if codec == "pq" and index.pq_m is None:
         raise ValueError("index was built without PQ codes (pq_m=None)")
@@ -2110,6 +2144,11 @@ def ivf_search(
                 f"mb_bits={want_bits}; this index has "
                 f"mb_bits={index.mb_bits}"
             )
+    if codec == "fp16" and not index.manifest.get("fp16"):
+        raise ValueError(
+            "index was built without half-precision copies; rebuild with "
+            "fp16=True to serve codec='fp16'"
+        )
     n_vecs = int(index.manifest.get("n_vecs", 0))
     if approximate_threshold is not None and n_vecs < int(
         approximate_threshold

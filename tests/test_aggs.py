@@ -13,6 +13,7 @@ from opensearch_jvector_plugin_spark.operators.aggs import (
     date_histogram_agg,
     stats_agg,
     terms_agg,
+    terms_stats_agg,
 )
 
 
@@ -55,6 +56,39 @@ def test_terms_agg_counts_nulls_and_cut(spark, hit_attrs):
     # q1: one bucket each -> key-asc keeps bash, editor.
     q1 = set(map(tuple, got[got.query_id == 1][["key", "doc_count"]].to_numpy()))
     assert q1 == {("bash", 1), ("editor", 1)}
+
+
+def test_terms_stats_sub_aggregation(spark, hit_attrs):
+    """terms bucket + stats sub-agg: same bucket cut/ordering as plain
+    terms, with count/min/max/sum/avg of the metric INSIDE each bucket; a
+    NULL metric value keeps its doc in doc_count but not in m_count."""
+    hits, attrs = hit_attrs
+    # Null out one metric value inside q0's bash bucket (doc 1).
+    import pyspark.sql.functions as F
+
+    attrs2 = attrs.withColumn(
+        "turn_idx",
+        F.when(F.col("doc_id") == 1, None).otherwise(F.col("turn_idx")),
+    )
+    got = terms_stats_agg(
+        hits, attrs2, "tool", "turn_idx", size=2
+    ).toPandas()
+    q0 = got[got.query_id == 0].set_index("key")
+    # bash bucket: docs {0, 1}; doc 1's metric is NULL.
+    assert q0.loc["bash", "doc_count"] == 2
+    assert q0.loc["bash", "m_count"] == 1
+    assert q0.loc["bash", "m_min"] == 0.0 == q0.loc["bash", "m_max"]
+    assert q0.loc["bash", "m_sum"] == 0.0 and q0.loc["bash", "m_avg"] == 0.0
+    # editor bucket (key-asc tie winner): doc 2 only.
+    assert q0.loc["editor", "doc_count"] == 1
+    assert q0.loc["editor", "m_sum"] == 2.0
+    # Same cut as the plain terms agg.
+    plain = terms_agg(hits, attrs2, "tool", size=2).toPandas()
+    assert set(map(tuple, got[["query_id", "key"]].to_numpy())) == set(
+        map(tuple, plain[["query_id", "key"]].to_numpy())
+    )
+    with pytest.raises(ValueError, match="positive"):
+        terms_stats_agg(hits, attrs2, "tool", "turn_idx", size=0)
 
 
 def test_terms_agg_rejects_bad_size(spark, hit_attrs):

@@ -584,9 +584,9 @@ def test_bq_codec_recall_and_bytes(spark, tmp_path):
 
 
 def test_compression_level_registry():
-    """CompressionLevel.java:25-30 analog: x1..x32 registered; every level
-    but fp16 (x2) resolves to an engine codec; x2 raises with the supported
-    set."""
+    """CompressionLevel.java:25-30 analog: x1..x32 registered and EVERY
+    level resolves to an engine codec (round 6 completes the set);
+    unknown levels raise."""
     from opensearch_jvector_plugin_spark.operators.vector_index import (
         COMPRESSION_LEVELS,
         codec_for_compression_level,
@@ -594,14 +594,55 @@ def test_compression_level_registry():
 
     assert set(COMPRESSION_LEVELS) == {"x1", "x2", "x4", "x8", "x16", "x32"}
     assert codec_for_compression_level("x1") == "exact"
+    assert codec_for_compression_level("x2") == "fp16"
     assert codec_for_compression_level("x4") == "sq"
     assert codec_for_compression_level("x8") == "mb4"
     assert codec_for_compression_level("x16") == "mb2"
     assert codec_for_compression_level("x32") == "bq"
-    with pytest.raises(ValueError, match="supported"):
-        codec_for_compression_level("x2")
     with pytest.raises(ValueError, match="unknown"):
         codec_for_compression_level("x64")
+
+
+def test_fp16_codec_near_exact_and_gated(spark, tmp_path):
+    """The x2 level: half-precision copies stored at build (fp16=True,
+    2*dim bytes/vector), served as a near-exact first pass + exact rerank —
+    top-k matches the exact-in-probed-buckets answer outright at 64 dims
+    (fp16 keeps ~10 significant bits; candidate pool absorbs any flips).
+    An index built without fp16 refuses the codec."""
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        ivf_search as ivf_q,
+    )
+
+    emb = spark.read.parquet(EMB)
+    d = str(tmp_path / "vidx_fp16")
+    manifest = build_vector_index(emb, d, n_centroids=16, fp16=True)
+    assert manifest["fp16"] is True
+    idx = load_vector_index(d)
+    q = queries_df(spark)
+    exact = ivf_search_exact(spark, idx, q, k=10, nprobe=4).toPandas()
+    res = ivf_q(spark, idx, q.toPandas(), k=10, nprobe=4,
+                codec="fp16", approximate_threshold=None).toPandas()
+    hits = sum(
+        len(set(exact[exact.query_id == qi]["vec_id"])
+            & set(res[res.query_id == qi]["vec_id"]))
+        for qi in range(5)
+    )
+    assert hits / 50 >= 0.98, f"fp16 recall {hits / 50}"
+
+    one = pd.read_parquet(
+        next(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(os.path.join(d, "buckets"))
+            for f in fs if f.endswith(".parquet")
+        )
+    )
+    assert all(len(b) == 128 for b in one["fp16code"])  # 2 * 64 dims
+
+    d2 = str(tmp_path / "vidx_nofp16")
+    build_vector_index(emb, d2, n_centroids=16)
+    with pytest.raises(ValueError, match="fp16"):
+        ivf_q(spark, load_vector_index(d2), q.toPandas(), k=10, nprobe=4,
+              codec="fp16", approximate_threshold=None)
 
 
 def test_mb_one_bit_degenerates_to_bq_rule():
