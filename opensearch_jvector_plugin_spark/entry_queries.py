@@ -95,6 +95,31 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_rounded(scored, ks)
 
 
+# Query-time synonym pairs over the documents vocabulary (directed:
+# query term -> also matches member).
+SYNONYM_PAIRS: list[tuple[str, str]] = [
+    ("join", "merge"),
+    ("sort", "order"),
+    ("stream", "batch"),
+]
+
+
+def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SynonymQuery semantics (the synonym_graph query-time rewrite):
+    every query term scores its synonym group as ONE pseudo-term — blended
+    df = max member df, per-doc tf = sum of member tfs — so a common
+    synonym cannot inflate idf and a multi-synonym doc is one strong match
+    (operators/synonyms.py)."""
+    from .operators.synonyms import synonym_scores
+
+    docs = _docs(spark, sf_dir)
+    queries = _queries_df(spark)
+    syn = spark.createDataFrame(SYNONYM_PAIRS, "term STRING, member STRING")
+    scored = synonym_scores(docs, queries, syn)
+    ks = queries.select("query_id", F.col("k").alias("_k"))
+    return _rank_rounded(scored, ks)
+
+
 EXPLAIN_TOP_K = 3
 MLT_SEEDS: list[tuple[int, int]] = [(0, 0), (1, 7), (2, 42), (3, 123)]
 MLT_K = 10
@@ -1717,6 +1742,22 @@ def q_transcript_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extended_stats agg over the hits' turn_idx: stats plus
+    sum_of_squares / population variance / std_deviation, the documented
+    OpenSearch formulas (operators/aggs.extended_stats_agg)."""
+    from .operators.aggs import extended_stats_agg
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    out = extended_stats_agg(hits, _transcript_attrs(spark), "turn_idx")
+    return out.select(
+        "query_id", "count", "min", "max", "sum", "sum_of_squares",
+        F.round("avg", 6).alias("avg"),
+        F.round("variance", 6).alias("variance"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+    )
+
+
 CARDINALITY_FIELD = "conv_id"
 PERCENTILES_PERCENTS = [25.0, 50.0, 75.0, 95.0]
 # Overlapping 4th bucket: OpenSearch ranges may overlap (each is an
@@ -2011,6 +2052,93 @@ FROM ranked r JOIN q ON r.query_id = q.query_id
 WHERE r.rank > q.k AND r.rank <= 2 * q.k
 """
 )
+
+
+def _synonyms_sql() -> str:
+    """SynonymQuery blending twin: blended df = max member df (absent
+    members 0), per-doc tf = sum of member tfs, ONE tf_norm per
+    (query, term, doc)."""
+    pairs = ", ".join(f"('{t}', '{m}')" for t, m in SYNONYM_PAIRS)
+    idf = "ln(1.0 + (s.n_docs - b.df_blend + 0.5) / (b.df_blend + 0.5))"
+    return f"""
+WITH corpus AS (
+  {_DOCS_CORPUS_SQL}
+),
+doclen AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM corpus),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM {_values_queries()}),
+qt AS (
+  SELECT query_id, k, term, count(*)::DOUBLE AS qtf
+  FROM (
+    SELECT query_id, k,
+           unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS term
+    FROM q
+  )
+  GROUP BY query_id, k, term
+),
+syn AS (SELECT * FROM (VALUES {pairs}) AS t(term, member)),
+grp AS (
+  SELECT DISTINCT term, member FROM (
+    SELECT term, term AS member FROM qt
+    UNION ALL SELECT term, member FROM syn
+  )
+),
+exp AS (
+  SELECT qt.query_id, qt.k, qt.term, qt.qtf, g.member
+  FROM qt JOIN grp g USING (term)
+),
+b AS (
+  SELECT exp.query_id, exp.term, min(exp.qtf) AS qtf,
+         max(coalesce(d.df, 0))::BIGINT AS df_blend
+  FROM exp LEFT JOIN dfreq d ON d.term = exp.member
+  GROUP BY exp.query_id, exp.term
+),
+w AS (
+  SELECT b.query_id, b.term, b.qtf * {idf} AS w
+  FROM b CROSS JOIN stats s
+),
+matches AS (
+  SELECT e.query_id, e.term, tf.doc_id,
+         sum(tf.tf)::BIGINT AS tf_blend, max(doclen.dl)::BIGINT AS dl
+  FROM exp e
+  JOIN tf ON tf.term = e.member
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  GROUP BY e.query_id, e.term, tf.doc_id
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum(w.w * {bm25_tf_norm_sql('m.tf_blend', 'm.dl', 's.avgdl')})
+           AS score
+  FROM matches m
+  JOIN w ON w.query_id = m.query_id AND w.term = m.term
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, r.score
+FROM ranked r JOIN q ON r.query_id = q.query_id
+WHERE r.rank <= q.k
+"""
+
+
+SQL_BM25_SYNONYMS = _synonyms_sql()
 
 
 def _explain_sql() -> str:
@@ -3821,6 +3949,28 @@ FROM rankedb WHERE rn <= 3
 """
 
 
+def _extended_stats_sql() -> str:
+    # Spark computes avg/variance from the same exact integer sums with
+    # the identical expression order (sumsq/n - (sum/n)^2) — bit-equal
+    # doubles on both engines before the round-6 projection.
+    return f"""{_agg_prefix_sql()},
+b AS (
+  SELECT query_id, count(turn_idx)::BIGINT AS count,
+         min(turn_idx)::DOUBLE AS min, max(turn_idx)::DOUBLE AS max,
+         sum(turn_idx)::DOUBLE AS sum,
+         sum(turn_idx * turn_idx)::DOUBLE AS sum_of_squares
+  FROM j GROUP BY query_id
+)
+SELECT query_id, count, min, max, sum, sum_of_squares,
+       round(sum / count, 6) AS avg,
+       round(sum_of_squares / count - (sum / count) * (sum / count), 6)
+         AS variance,
+       round(sqrt(sum_of_squares / count - (sum / count) * (sum / count)), 6)
+         AS std_deviation
+FROM b
+"""
+
+
 def _date_histogram_sql() -> str:
     s = DATE_HISTOGRAM_INTERVAL_S
     return f"""{_agg_prefix_sql()},
@@ -3954,6 +4104,7 @@ def _range_agg_sql() -> str:
 
 SQL_TRANSCRIPT_TERMS_AGG = _terms_agg_sql()
 SQL_TRANSCRIPT_TERMS_STATS = _terms_stats_sql()
+SQL_TRANSCRIPT_EXTENDED_STATS = _extended_stats_sql()
 SQL_TRANSCRIPT_DATE_HISTOGRAM = _date_histogram_sql()
 SQL_TRANSCRIPT_STATS_AGG = _stats_agg_sql()
 SQL_TRANSCRIPT_TOP_HITS = _top_hits_sql()
@@ -4242,6 +4393,7 @@ FROM s GROUP BY user_id, session_id
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "bm25_synonyms": q_bm25_synonyms,
     "bm25_search_after": q_bm25_search_after,
     "bm25_explain": q_bm25_explain,
     "bm25_mlt": q_bm25_mlt,
@@ -4312,6 +4464,7 @@ QUERIES = {
     "transcript_significant_terms": q_transcript_significant_terms,
     "transcript_terms_agg": q_transcript_terms_agg,
     "transcript_terms_stats": q_transcript_terms_stats,
+    "transcript_extended_stats": q_transcript_extended_stats,
     "transcript_date_histogram": q_transcript_date_histogram,
     "transcript_stats_agg": q_transcript_stats_agg,
     "transcript_top_hits": q_transcript_top_hits,
@@ -4328,6 +4481,7 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_synonyms": SQL_BM25_SYNONYMS,
     "bm25_search_after": SQL_BM25_SEARCH_AFTER,
     "bm25_explain": SQL_BM25_EXPLAIN,
     "bm25_mlt": SQL_BM25_MLT,
@@ -4406,6 +4560,7 @@ ORACLES = {
     "transcript_significant_terms": SQL_TRANSCRIPT_SIGNIFICANT_TERMS,
     "transcript_terms_agg": SQL_TRANSCRIPT_TERMS_AGG,
     "transcript_terms_stats": SQL_TRANSCRIPT_TERMS_STATS,
+    "transcript_extended_stats": SQL_TRANSCRIPT_EXTENDED_STATS,
     "transcript_date_histogram": SQL_TRANSCRIPT_DATE_HISTOGRAM,
     "transcript_stats_agg": SQL_TRANSCRIPT_STATS_AGG,
     "transcript_top_hits": SQL_TRANSCRIPT_TOP_HITS,

@@ -108,6 +108,35 @@ def terms_stats_agg(
     )
 
 
+def extended_stats_agg(
+    hits: DataFrame, attrs: DataFrame, field: str
+) -> DataFrame:
+    """extended_stats aggregation: the stats set plus sum_of_squares,
+    population variance and std_deviation, computed exactly as OpenSearch
+    documents them (variance = sumsq/n - mean^2) from the same one
+    hit-sized groupBy. NULL metric values are excluded throughout."""
+    m = F.col(field)
+    base = (
+        _hit_attrs(hits, attrs, [field])
+        .groupBy("query_id")
+        .agg(
+            F.count(m).alias("count"),
+            F.min(m).cast("double").alias("min"),
+            F.max(m).cast("double").alias("max"),
+            F.sum(m).cast("double").alias("sum"),
+            F.sum(m * m).cast("double").alias("sum_of_squares"),
+        )
+    )
+    mean = F.col("sum") / F.col("count")
+    var = F.col("sum_of_squares") / F.col("count") - mean * mean
+    return base.select(
+        "query_id", "count", "min", "max", "sum", "sum_of_squares",
+        mean.alias("avg"),
+        var.alias("variance"),
+        F.sqrt(var).alias("std_deviation"),
+    )
+
+
 def date_histogram_agg(
     hits: DataFrame,
     attrs: DataFrame,

@@ -91,6 +91,25 @@ def test_terms_stats_sub_aggregation(spark, hit_attrs):
         terms_stats_agg(hits, attrs2, "tool", "turn_idx", size=0)
 
 
+def test_extended_stats_values(spark, hit_attrs):
+    """extended_stats: OpenSearch's documented formulas — population
+    variance = sumsq/n - mean^2, std = sqrt(variance)."""
+    from opensearch_jvector_plugin_spark.operators.aggs import (
+        extended_stats_agg,
+    )
+
+    hits, attrs = hit_attrs
+    got = extended_stats_agg(hits, attrs, "turn_idx").toPandas()
+    q0 = got[got.query_id == 0].iloc[0]
+    # q0 metric values: 0,1,2,3,4 -> n=5, sum=10, sumsq=30, mean=2,
+    # var = 30/5 - 4 = 2.
+    assert q0["count"] == 5 and q0["sum"] == 10.0
+    assert q0["sum_of_squares"] == 30.0
+    assert q0["avg"] == 2.0 and q0["variance"] == 2.0
+    assert q0["std_deviation"] == pytest.approx(2.0 ** 0.5, rel=1e-12)
+    assert q0["min"] == 0.0 and q0["max"] == 4.0
+
+
 def test_terms_agg_rejects_bad_size(spark, hit_attrs):
     hits, attrs = hit_attrs
     with pytest.raises(ValueError, match="size"):
