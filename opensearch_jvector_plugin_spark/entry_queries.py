@@ -1731,6 +1731,20 @@ def q_transcript_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch pipeline aggs (cumulative_sum + derivative of _count)
+    over the gap-filled date_histogram buckets — sibling pipelines as
+    window functions over the parent agg (operators/aggs.pipeline_aggs);
+    first-bucket derivative is NULL per the OpenSearch contract."""
+    from .operators.aggs import date_histogram_agg, pipeline_aggs
+
+    hits = q_transcript_bm25_indexed(spark, sf_dir)
+    hist = date_histogram_agg(
+        hits, _transcript_attrs(spark), "ts", DATE_HISTOGRAM_INTERVAL_S
+    )
+    return pipeline_aggs(hist)
+
+
 def q_transcript_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric stats agg (count/min/max/sum/avg) over the hits' turn_idx."""
     from .operators.aggs import stats_agg
@@ -3949,6 +3963,20 @@ FROM rankedb WHERE rn <= 3
 """
 
 
+def _pipeline_aggs_sql() -> str:
+    return f"""
+WITH base AS ({_date_histogram_sql()})
+SELECT query_id, bucket_ts, doc_count,
+       (sum(doc_count) OVER (
+          PARTITION BY query_id ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING
+        ))::BIGINT AS cumulative_sum,
+       (doc_count - lag(doc_count) OVER (
+          PARTITION BY query_id ORDER BY bucket_ts
+        ))::BIGINT AS derivative
+FROM base
+"""
+
+
 def _extended_stats_sql() -> str:
     # Spark computes avg/variance from the same exact integer sums with
     # the identical expression order (sumsq/n - (sum/n)^2) — bit-equal
@@ -4105,6 +4133,7 @@ def _range_agg_sql() -> str:
 SQL_TRANSCRIPT_TERMS_AGG = _terms_agg_sql()
 SQL_TRANSCRIPT_TERMS_STATS = _terms_stats_sql()
 SQL_TRANSCRIPT_EXTENDED_STATS = _extended_stats_sql()
+SQL_TRANSCRIPT_PIPELINE_AGGS = _pipeline_aggs_sql()
 SQL_TRANSCRIPT_DATE_HISTOGRAM = _date_histogram_sql()
 SQL_TRANSCRIPT_STATS_AGG = _stats_agg_sql()
 SQL_TRANSCRIPT_TOP_HITS = _top_hits_sql()
@@ -4465,6 +4494,7 @@ QUERIES = {
     "transcript_terms_agg": q_transcript_terms_agg,
     "transcript_terms_stats": q_transcript_terms_stats,
     "transcript_extended_stats": q_transcript_extended_stats,
+    "transcript_pipeline_aggs": q_transcript_pipeline_aggs,
     "transcript_date_histogram": q_transcript_date_histogram,
     "transcript_stats_agg": q_transcript_stats_agg,
     "transcript_top_hits": q_transcript_top_hits,
@@ -4561,6 +4591,7 @@ ORACLES = {
     "transcript_terms_agg": SQL_TRANSCRIPT_TERMS_AGG,
     "transcript_terms_stats": SQL_TRANSCRIPT_TERMS_STATS,
     "transcript_extended_stats": SQL_TRANSCRIPT_EXTENDED_STATS,
+    "transcript_pipeline_aggs": SQL_TRANSCRIPT_PIPELINE_AGGS,
     "transcript_date_histogram": SQL_TRANSCRIPT_DATE_HISTOGRAM,
     "transcript_stats_agg": SQL_TRANSCRIPT_STATS_AGG,
     "transcript_top_hits": SQL_TRANSCRIPT_TOP_HITS,

@@ -108,6 +108,30 @@ def terms_stats_agg(
     )
 
 
+def pipeline_aggs(histogram: DataFrame, bucket_col: str = "bucket_ts") -> DataFrame:
+    """OpenSearch PIPELINE aggregations over a (gap-filled) histogram:
+    cumulative_sum and derivative of doc_count as window functions over
+    the parent agg's buckets — the sibling-pipeline shape (`"aggs":
+    {"cum": {"cumulative_sum": {"buckets_path": "_count"}}, "deriv":
+    {"derivative": ...}}`). Derivative of the first bucket is NULL (the
+    documented OpenSearch behavior: no previous bucket). Input must be
+    min_doc_count=0 gap-filled (date_histogram_agg/histogram_agg are), so
+    the derivative's unit is per-interval."""
+    w = W.partitionBy("query_id").orderBy(bucket_col)
+    return histogram.select(
+        "query_id",
+        bucket_col,
+        "doc_count",
+        F.sum("doc_count")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cumulative_sum"),
+        (F.col("doc_count") - F.lag("doc_count").over(w))
+        .cast("long")
+        .alias("derivative"),
+    )
+
+
 def extended_stats_agg(
     hits: DataFrame, attrs: DataFrame, field: str
 ) -> DataFrame:

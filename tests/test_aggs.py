@@ -110,6 +110,26 @@ def test_extended_stats_values(spark, hit_attrs):
     assert q0["min"] == 0.0 and q0["max"] == 4.0
 
 
+def test_pipeline_aggs_cumsum_and_derivative(spark, hit_attrs):
+    """cumulative_sum runs per query over bucket order; derivative of the
+    first bucket is NULL (no previous bucket, the OpenSearch contract)."""
+    from opensearch_jvector_plugin_spark.operators.aggs import pipeline_aggs
+
+    hits, attrs = hit_attrs
+    hist = date_histogram_agg(hits, attrs, "ts", 3600)
+    got = (
+        pipeline_aggs(hist)
+        .toPandas()
+        .sort_values(["query_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for _, g in got.groupby("query_id"):
+        assert list(g["cumulative_sum"]) == list(g["doc_count"].cumsum())
+        assert pd.isna(g["derivative"].iloc[0])
+        diffs = g["doc_count"].diff().iloc[1:]
+        assert list(g["derivative"].iloc[1:]) == list(diffs)
+
+
 def test_terms_agg_rejects_bad_size(spark, hit_attrs):
     hits, attrs = hit_attrs
     with pytest.raises(ValueError, match="size"):
