@@ -1340,6 +1340,43 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.unionByName(aud).unionByName(vid)
 
 
+# ------------------------------------------------------------ hybrid ---
+
+HYBRID_K = 10
+HYBRID_WEIGHTS = [0.3, 0.7]  # lexical, vector — the common hybrid split
+
+
+def _hybrid_inputs(spark: SparkSession, sf_dir: str):
+    lex = q_bm25_topk(spark, sf_dir)
+    vec = q_ann_bruteforce(spark, sf_dir).select(
+        "query_id", "rank",
+        F.col("vec_id").alias("doc_id"),
+        F.col("cosine").alias("score"),
+    )
+    return lex, vec
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal rank fusion — the
+    reference plugin's primary production composition (a knn_vector field
+    fused with text relevance). Rank-only fusion: rrf = sum 1/(60+rank),
+    no score normalization needed (operators/hybrid.rrf_fuse)."""
+    from .operators.hybrid import rrf_fuse
+
+    lex, vec = _hybrid_inputs(spark, sf_dir)
+    return rrf_fuse([lex, vec], k=HYBRID_K)
+
+
+def q_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion, normalization-processor shape: per-(query, ranking)
+    min-max score normalization then the 0.3/0.7 weighted sum, missing
+    docs contributing 0 (operators/hybrid.minmax_fuse)."""
+    from .operators.hybrid import minmax_fuse
+
+    lex, vec = _hybrid_inputs(spark, sf_dir)
+    return minmax_fuse([lex, vec], HYBRID_WEIGHTS, k=HYBRID_K)
+
+
 # ------------------------------------------------------- script_score ---
 
 
@@ -3524,6 +3561,60 @@ _L1 = (
 )
 
 
+def _hybrid_sqls() -> tuple[str, str]:
+    """RRF + min-max fusion twins composed from the lexical and vector
+    oracles (nested WITH in subqueries)."""
+    rrf = f"""
+WITH lex AS ({SQL_BM25_TOPK}),
+vec AS ({SQL_ANN_BRUTEFORCE}),
+u AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM lex
+  UNION ALL
+  SELECT query_id, vec_id AS doc_id, 1.0 / (60 + rank) AS c FROM vec
+),
+s AS (SELECT query_id, doc_id, sum(c) AS rrf_score FROM u GROUP BY 1, 2),
+rankedh AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(rrf_score, 6) DESC,
+           doc_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_id, rank::INT AS rank, doc_id, round(rrf_score, 6) AS rrf_score
+FROM rankedh WHERE rank <= {HYBRID_K}
+"""
+    wl, wv = HYBRID_WEIGHTS
+    norm_lex = """CASE WHEN max(score) OVER (PARTITION BY query_id)
+        = min(score) OVER (PARTITION BY query_id) THEN 1.0
+      ELSE (score - min(score) OVER (PARTITION BY query_id))
+           / (max(score) OVER (PARTITION BY query_id)
+              - min(score) OVER (PARTITION BY query_id)) END"""
+    norm_vec = norm_lex.replace("score", "cosine")
+    minmax = f"""
+WITH lex AS ({SQL_BM25_TOPK}),
+vec AS ({SQL_ANN_BRUTEFORCE}),
+u AS (
+  SELECT query_id, doc_id, {wl} * ({norm_lex}) AS c FROM lex
+  UNION ALL
+  SELECT query_id, vec_id AS doc_id, {wv} * ({norm_vec}) AS c FROM vec
+),
+s AS (SELECT query_id, doc_id, sum(c) AS hybrid_score FROM u GROUP BY 1, 2),
+rankedh AS (
+  SELECT query_id, doc_id, hybrid_score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(hybrid_score, 6) DESC,
+           doc_id ASC
+         ) AS rank
+  FROM s
+)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(hybrid_score, 6) AS hybrid_score
+FROM rankedh WHERE rank <= {HYBRID_K}
+"""
+    return rrf, minmax
+
+
 def _script_score_sql(score_expr: str, ascending: bool) -> str:
     """Twin of the script_score exact-scan surface: doc_id-named output,
     the given score expression over (e.v, q.qv), round-6 rank."""
@@ -3551,6 +3642,8 @@ SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= {ANN_K}
 """
 
+
+SQL_HYBRID_RRF, SQL_HYBRID_MINMAX = _hybrid_sqls()
 
 SQL_SCRIPT_SCORE_L1 = _script_score_sql(_L1, ascending=True)
 # the pandas plug-in demo scorer: ip / (1 + l1), higher = better
@@ -4472,6 +4565,8 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_bruteforce_l2": q_ann_bruteforce_l2,
     "ann_bruteforce_ip": q_ann_bruteforce_ip,
+    "hybrid_rrf": q_hybrid_rrf,
+    "hybrid_minmax": q_hybrid_minmax,
     "script_score_l1": q_script_score_l1,
     "script_score_udf": q_script_score_udf,
     "media_pipeline": q_media_pipeline,
@@ -4568,6 +4663,8 @@ ORACLES = {
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_bruteforce_l2": SQL_ANN_BRUTEFORCE_L2,
     "ann_bruteforce_ip": SQL_ANN_BRUTEFORCE_IP,
+    "hybrid_rrf": SQL_HYBRID_RRF,
+    "hybrid_minmax": SQL_HYBRID_MINMAX,
     "script_score_l1": SQL_SCRIPT_SCORE_L1,
     "script_score_udf": SQL_SCRIPT_SCORE_UDF,
     "ann_ivf": SQL_ANN_IVF,
