@@ -290,6 +290,44 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_CACHE[sf_dir]
 
 
+# Soft-delete driver fixture: ids chosen to include top-ranked hits of
+# several ENTRY_QUERIES so the deletion visibly reshuffles the ranking.
+DELETED_DOC_IDS = [3, 7, 42, 96]
+_DELETED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _deleted_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """A second index build with DELETED_DOC_IDS tombstoned (the shared
+    _index_for index must stay delete-free for every other query)."""
+    if sf_dir not in _DELETED_INDEX_CACHE:
+        from .operators.deletes import delete_docs
+
+        idx_dir = tempfile.mkdtemp(prefix="ojs_idx_del_")
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        build_index(docs, idx_dir, seg_size=max(64, n // 8))
+        delete_docs(idx_dir, DELETED_DOC_IDS)
+        _DELETED_INDEX_CACHE[sf_dir] = idx_dir
+    return _DELETED_INDEX_CACHE[sf_dir]
+
+
+def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deletes (the Lucene liveDocs contract, round 6): tombstoned
+    docs vanish from results IMMEDIATELY — the kernel filters them before
+    the top-k cut so k still fills from live docs — while BM25 statistics
+    (df/avgdl/n_docs) stay whole-corpus until a merge purges
+    (operators/deletes.py). The oracle scores with full-corpus stats and
+    excludes the deleted ids from the scored relation — exactly the
+    stale-stats semantics."""
+    import pandas as pd
+
+    idx = load_index(_deleted_index_for(spark, sf_dir))
+    qpdf = pd.DataFrame(ENTRY_QUERIES, columns=["query_id", "query_text", "k"])
+    res = search(spark, idx, qpdf, tie_epsilon=1e-6)
+    ks = _queries_df(spark).select("query_id", F.col("k").alias("_k"))
+    return _rank_rounded(res.select("query_id", "doc_id", "score"), ks)
+
+
 def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as q_bm25_topk but served from the built segment index
     through the MaxScore kernel. tie_epsilon = the round-6 quantum: the
@@ -2090,6 +2128,20 @@ WHERE r.rank <= q.k
 """
 
 SQL_BM25_TOPK = "WITH " + _bm25_ctes() + _BM25_SELECT
+
+# Soft-delete twin: full-corpus stats, deleted ids excluded from the
+# scored relation (Lucene stale-stats semantics until merge purges).
+SQL_BM25_TOPK_DELETED = (
+    "WITH "
+    + _bm25_ctes(
+        extra_postings_filter=(
+            "WHERE tf.doc_id NOT IN ("
+            + ", ".join(str(d) for d in DELETED_DOC_IDS)
+            + ")"
+        )
+    )
+    + _BM25_SELECT
+)
 
 # Page 2 under the identical total order: global ranks (k, 2k], page-local
 # rank = global - k. The cursor-cut + re-window Spark path must land on
@@ -4524,6 +4576,7 @@ QUERIES = {
     "bm25_phrase_suggest": q_bm25_phrase_suggest,
     "bm25_boosting": q_bm25_boosting,
     "bm25_topk_indexed": q_bm25_topk_indexed,
+    "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_minscore": q_bm25_minscore,
     "bm25_maxdistance": q_bm25_maxdistance,
@@ -4614,7 +4667,8 @@ ORACLES = {
     "bm25_suggest": SQL_BM25_SUGGEST,
     "bm25_phrase_suggest": SQL_BM25_PHRASE_SUGGEST,
     "bm25_boosting": SQL_BM25_BOOSTING,
-    "bm25_topk_indexed": SQL_BM25_TOPK,  # same contract, index-served
+    "bm25_topk_indexed": SQL_BM25_TOPK,
+    "bm25_topk_deleted": SQL_BM25_TOPK_DELETED,  # same contract, index-served
     "bm25_topk_filtered": SQL_BM25_FILTERED,
     "bm25_minscore": SQL_BM25_MINSCORE,
     "bm25_maxdistance": SQL_BM25_MAXDISTANCE,

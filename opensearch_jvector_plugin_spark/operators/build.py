@@ -291,6 +291,9 @@ def finalize_index(spark: SparkSession, index_dir: str, storage=None) -> dict:
         "tokenizer_version": TOKENIZER_VERSION,
         "codec_version": CODEC_VERSION,
         "n_docs": n_docs,
+        # docID-space bound: purge shrinks n_docs but never renumbers, so
+        # delete validation checks against max_doc, which never shrinks.
+        "max_doc": n_docs,
         "total_dl": total_dl,
         "avgdl": (total_dl / n_docs) if n_docs else 0.0,
         "n_segments": len(manifests),

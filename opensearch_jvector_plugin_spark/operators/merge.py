@@ -39,7 +39,8 @@ from .codec import (
 from .query import IndexHandle
 
 MERGE_SUMMARY_SCHEMA = (
-    "seg_id INT, n_terms LONG, n_postings LONG, crc LONG, merge_ms LONG"
+    "seg_id INT, n_terms LONG, n_postings LONG, crc LONG, merge_ms LONG, "
+    "dl_purged LONG"
 )
 
 
@@ -75,6 +76,20 @@ def merge_segments(
     )
     postings = spark.read.parquet(index.segments_path).join(
         F.broadcast(mapping), "seg_id"
+    )
+
+    # Expunge-deletes (the forceMerge contract): the merged output drops
+    # every deleted doc's postings; stats are adjusted afterwards for the
+    # ids not yet purged by a previous merge (idempotent re-merge).
+    from .deletes import deleted_docs, mark_purged, pending_purge
+
+    _deleted = deleted_docs(index.index_dir)
+    _pending = pending_purge(index.index_dir)
+    bc_deleted = spark.sparkContext.broadcast(
+        _deleted if len(_deleted) else None
+    )
+    bc_pending = spark.sparkContext.broadcast(
+        _pending if len(_pending) else None
     )
 
     # Hybrid decode threshold, MEASURED (BENCH.md round 2): per-term/
@@ -144,8 +159,14 @@ def merge_segments(
         }
         seg_crc = 0
         n_postings = 0
+        deleted = bc_deleted.value
+        pending = bc_pending.value
+        # dl of each PENDING-purge doc seen in this group (dl is constant
+        # per doc; a doc lives in exactly one group) — exact stats credit.
+        pending_dl: dict[int, int] = {}
         # Per-term concat + sort + encode: cache-resident per term, and the
-        # encoder is byte-identical to the build's (CRC-identity contract).
+        # encoder is byte-identical to the build's (CRC-identity contract;
+        # with no deletes the masking below is skipped entirely).
         for rs, re_ in zip(t_row_starts, t_row_ends):
             term = term_vals[rs]
             segs = lists[rs:re_]
@@ -157,6 +178,24 @@ def merge_segments(
                 cat_docs = np.concatenate([l.doc_ids for l in segs])
                 cat_tfs = np.concatenate([l.tfs for l in segs])
                 cat_dls = np.concatenate([l.dls for l in segs])
+            if deleted is not None:
+                idx = np.searchsorted(deleted, cat_docs)
+                idx[idx == len(deleted)] = 0
+                dead = deleted[idx] == cat_docs
+                if pending is not None and dead.any():
+                    dd, dld = cat_docs[dead], cat_dls[dead]
+                    pidx = np.searchsorted(pending, dd)
+                    pidx[pidx == len(pending)] = 0
+                    pmask = pending[pidx] == dd
+                    for doc, dl in zip(dd[pmask], dld[pmask]):
+                        pending_dl.setdefault(int(doc), int(dl))
+                if dead.any():
+                    live = ~dead
+                    cat_docs = cat_docs[live]
+                    cat_tfs = cat_tfs[live]
+                    cat_dls = cat_dls[live]
+                if not len(cat_docs):
+                    continue  # the term died with its only docs
             # Global docID order regardless of segment range layout (doc
             # ranges need not be disjoint when segments were built
             # shuffle-free from ingest partitions).
@@ -205,7 +244,8 @@ def merge_segments(
         ms = int((time.monotonic() - t0) * 1000)
         return pd.DataFrame(
             [{"seg_id": merged_seg, "n_terms": len(out["term"]),
-              "n_postings": n_postings, "crc": seg_crc, "merge_ms": ms}]
+              "n_postings": n_postings, "crc": seg_crc, "merge_ms": ms,
+              "dl_purged": int(sum(pending_dl.values()))}]
         )
 
     summaries = (
@@ -213,9 +253,44 @@ def merge_segments(
         .applyInPandas(merge_group, MERGE_SUMMARY_SCHEMA)
         .collect()
     )
+    # --- expunge-deletes bookkeeping: adjust stats for the ids this merge
+    # purged for the first time, rebuild the dict from the merged postings
+    # (per-term df changed), and record the purge. Idempotent: a re-merge
+    # finds pending empty and skips all of this.
+    if len(_pending):
+        dl_purged = sum(int(r["dl_purged"]) for r in summaries)
+        stats_path = os.path.join(index.index_dir, "stats.json")
+        with open(stats_path) as f:
+            stats = json.load(f)
+        old_n = int(stats["n_docs"])
+        old_total = int(
+            stats.get("total_dl", round(float(stats["avgdl"]) * old_n))
+        )
+        stats.setdefault("max_doc", old_n + int(len(_deleted) - len(_pending)))
+        stats["n_docs"] = old_n - int(len(_pending))
+        stats["total_dl"] = old_total - dl_purged
+        stats["avgdl"] = (
+            stats["total_dl"] / stats["n_docs"] if stats["n_docs"] else 0.0
+        )
+        st.put_bytes(
+            stats_path, json.dumps(stats, indent=1, sort_keys=True).encode()
+        )
+        (
+            spark.read.parquet(merged_dir)
+            .select("term", "df", "ctf")
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("ctf").cast("long").alias("ctf"))
+            .repartition(max(1, min(32, len(seg_ids))))
+            .write.mode("overwrite")
+            .parquet(index.dict_path)
+        )
+        mark_purged(index.index_dir, storage=st)
+
     manifest = {
         "fan_in": fan_in,
         "input_segments": seg_ids,
+        "n_docs_purged": int(len(_pending)),
         "merged_segments": [
             {
                 "seg_id": int(r["seg_id"]),

@@ -66,6 +66,14 @@ class IndexHandle:
             os.path.join(self.index_dir, "merged_manifest.json")
         )
 
+    def deleted(self) -> "np.ndarray":
+        """Sorted deleted docIDs (the liveDocs analog) — read fresh per
+        call so a delete is visible to the next search on an existing
+        handle, like a Lucene reader refresh."""
+        from .deletes import deleted_docs
+
+        return deleted_docs(self.index_dir)
+
     def merged_is_current(self) -> bool:
         """A merge is stale once streaming appends add segments it never
         saw; serving it would silently drop the new docs."""
@@ -297,11 +305,14 @@ def search_weighted(
         if allowed_docs is not None
         else None
     )
+    _del = index.deleted()
+    bc_denied = spark.sparkContext.broadcast(_del if len(_del) else None)
     bc_ks = spark.sparkContext.broadcast(ks)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         w_all = bc_weights.value
         allowed = bc_allowed.value
+        denied = bc_denied.value
         ks_map = bc_ks.value
         decoded = decode_segment_postings(pdf)
         meta: dict[str, tuple] = {}
@@ -329,6 +340,7 @@ def search_weighted(
             docs, scores = maxscore_topk(
                 tp, tw, ubs, ks_map[qid], avgdl, allowed=allowed,
                 tf_norm_cache=norm_cache, tie_epsilon=tie_epsilon,
+                denied=denied,
             )
             out_q.append(np.full(len(docs), qid, dtype=np.int32))
             out_d.append(docs)
@@ -461,6 +473,8 @@ def search_min_score(
         if allowed_docs is not None
         else None
     )
+    _del = index.deleted()
+    bc_denied = spark.sparkContext.broadcast(_del if len(_del) else None)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from .codec import decode_postings_batch
@@ -468,6 +482,7 @@ def search_min_score(
         w_all = bc_weights.value
         ms_map = bc_ms.value
         allowed = bc_allowed.value
+        denied = bc_denied.value
         decoded: dict[str, tuple] = {}
         meta: dict[str, tuple] = {}
         if len(pdf) and (
@@ -507,7 +522,7 @@ def search_min_score(
             ubs = {t: tw[t] * ub_base[t] for t in tp}
             docs, scores = minscore_all(
                 tp, tw, ubs, ms_map[qid], avgdl, allowed=allowed,
-                tf_norm_cache=norm_cache,
+                tf_norm_cache=norm_cache, denied=denied,
             )
             out_q.append(np.full(len(docs), qid, dtype=np.int32))
             out_d.append(docs)

@@ -65,6 +65,7 @@ def maxscore_topk(
     allowed: np.ndarray | None = None,
     tf_norm_cache: dict[str, np.ndarray] | None = None,
     tie_epsilon: float = 0.0,
+    denied: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k for one query over one segment.
 
@@ -73,6 +74,8 @@ def maxscore_topk(
     term_ubs:      term -> upper bound on w * tf_norm (from skip blocks)
     allowed:       optional sorted array of permitted docIDs (pre-filter
                    semantics, the acceptDocs analog of JVectorReader.java:128)
+    denied:        optional sorted array of EXCLUDED docIDs (the liveDocs
+                   deleted set) — applied before any cut, like allowed
     tf_norm_cache: optional term -> tf_norm array cache shared across the
                    QUERY BATCH (tf_norm is query-independent; in batched
                    search each term's normalization is computed once per
@@ -88,7 +91,7 @@ def maxscore_topk(
     if not terms or k <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     return _maxscore(term_postings, term_weights, term_ubs, k, None, avgdl,
-                     allowed, tf_norm_cache, tie_epsilon)
+                     allowed, tf_norm_cache, tie_epsilon, denied=denied)
 
 
 def minscore_all(
@@ -99,6 +102,7 @@ def minscore_all(
     avgdl: float,
     allowed: np.ndarray | None = None,
     tf_norm_cache: dict[str, np.ndarray] | None = None,
+    denied: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Radial-search analog (the reference's min_score / max_distance query
     mode, KNNQueryBuilder exactly-one-of {k, max_distance, min_score}):
@@ -109,7 +113,8 @@ def minscore_all(
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     return _maxscore(term_postings, term_weights, term_ubs, None,
-                     float(min_score), avgdl, allowed, tf_norm_cache, 0.0)
+                     float(min_score), avgdl, allowed, tf_norm_cache, 0.0,
+                     denied=denied)
 
 
 def _maxscore(
@@ -122,8 +127,15 @@ def _maxscore(
     allowed,
     tf_norm_cache,
     tie_epsilon=0.0,
+    denied=None,
 ):
     terms = [t for t in sorted(term_postings) if term_weights.get(t)]
+    if denied is not None and len(denied) == 0:
+        denied = None
+    if denied is not None and allowed is not None:
+        # Fold the deleted set into the accept list once (both sorted).
+        allowed = np.setdiff1d(allowed, denied, assume_unique=False)
+        denied = None
 
     def norm_of(t):
         if tf_norm_cache is not None:
@@ -145,6 +157,13 @@ def _maxscore(
                 mask = allowed[idx] == doc
             else:
                 mask = np.zeros(len(doc), bool)
+            return doc[mask], norm_of(t)[mask]
+    elif denied is not None:
+        def filtered(t):
+            doc = term_postings[t][0]
+            idx = np.searchsorted(denied, doc)
+            idx[idx == len(denied)] = 0
+            mask = denied[idx] != doc
             return doc[mask], norm_of(t)[mask]
     else:
         def filtered(t):
