@@ -1194,6 +1194,22 @@ def append_vectors(
     n_new = src.count()
     if n_new == 0:
         return manifest
+    dead = manifest.get("deleted") or []
+    if dead:
+        # Re-appending a tombstoned id would be silently filtered by the
+        # serving scan — reject instead; revive is explicit
+        # (undelete_vectors) so the contract stays unambiguous.
+        dead_df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": np.asarray(sorted(dead),
+                                               dtype=np.int64)}),
+            "vec_id LONG",
+        )
+        n_dead = src.join(F.broadcast(dead_df), "vec_id", "left_semi").count()
+        if n_dead:
+            raise ValueError(
+                f"append contains {n_dead} tombstoned vec_id(s); call "
+                "undelete_vectors (or compact, then re-use the ids) first"
+            )
 
     from ..plans.breaker import check_bytes, resolve_cap
 
@@ -1260,6 +1276,36 @@ def append_vectors(
     return manifest
 
 
+def delete_vectors(index_dir: str, vec_ids, storage=None) -> dict:
+    """Tombstone vec_ids (the vector-side liveDocs analog, idempotent
+    union, conditional-PUT manifest commit). Tombstoned vectors vanish
+    from every serving path (exact / quantized ADC / radial) immediately
+    via the bucket_scan anti-join; compact_vector_index purges them
+    physically and resets the list. Unknown ids are inert (the vec_id
+    space is caller-assigned, not dense). Returns the updated manifest."""
+    storage = storage if storage is not None else _default_posix()
+    mio = _ManifestIO(storage, index_dir)
+    manifest = _reconcile(storage, index_dir, mio, mio.read())
+    ids = {int(x) for x in vec_ids}
+    if any(x < 0 for x in ids):
+        raise ValueError("negative vec_id in delete set")
+    manifest["deleted"] = sorted(set(manifest.get("deleted", [])) | ids)
+    mio.commit(manifest)
+    return manifest
+
+
+def undelete_vectors(index_dir: str, vec_ids, storage=None) -> dict:
+    """Remove tombstones (needed before re-appending a deleted id — the
+    append-time rejection below keeps revive explicit)."""
+    storage = storage if storage is not None else _default_posix()
+    mio = _ManifestIO(storage, index_dir)
+    manifest = _reconcile(storage, index_dir, mio, mio.read())
+    ids = {int(x) for x in vec_ids}
+    manifest["deleted"] = sorted(set(manifest.get("deleted", [])) - ids)
+    mio.commit(manifest)
+    return manifest
+
+
 def compact_vector_index(
     spark: SparkSession, index_dir: str, storage=None
 ) -> dict:
@@ -1294,6 +1340,21 @@ def compact_vector_index(
     storage.rmtree(new)  # orphan of a crashed compact
 
     df = spark.read.parquet(cur)
+    # Expunge tombstones: the rewrite drops every deleted vector's rows
+    # (all replicas), so the new generation is fully purged and the
+    # tombstone list resets in the SAME conditional commit.
+    dead = sorted(manifest.get("deleted", []))
+    n_purged = 0
+    if dead:
+        dead_df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": np.asarray(dead, dtype=np.int64)}),
+            "vec_id LONG",
+        )
+        n_purged = (
+            df.join(F.broadcast(dead_df), "vec_id", "left_semi")
+            .select("vec_id").distinct().count()
+        )
+        df = df.join(F.broadcast(dead_df), "vec_id", "left_anti")
     n_parts = df.select("centroid_id").distinct().count()
     (
         df.repartition(max(1, n_parts), "centroid_id")
@@ -1303,6 +1364,12 @@ def compact_vector_index(
     )
     manifest["bucket_gen"] = new_gen
     manifest["compactions"] = int(manifest.get("compactions", 0)) + 1
+    if dead:
+        manifest["n_vecs"] = int(manifest["n_vecs"]) - int(n_purged)
+        manifest["deleted"] = []
+        manifest["purged_total"] = (
+            int(manifest.get("purged_total", 0)) + int(n_purged)
+        )
     mio.commit(manifest)  # the commit point (conditional PUT)
     # GC superseded generations (best-effort; safe to re-run).
     active = os.path.basename(new)
@@ -1485,6 +1552,13 @@ class VectorIndexHandle:
             )
         return self._mbth
 
+    def deleted_ids(self) -> np.ndarray:
+        """Sorted tombstoned vec_ids (the liveDocs analog for the vector
+        index; recorded in the conditional-PUT manifest)."""
+        return np.asarray(
+            sorted(self.manifest.get("deleted", [])), dtype=np.int64
+        )
+
     @property
     def buckets_path(self) -> str:
         """Active bucket-table directory, resolved READ-ONLY: a crashed
@@ -1514,19 +1588,32 @@ class VectorIndexHandle:
         bp = self.buckets_path
         pb = self.manifest.get("pending_batch_id")
         if pb is None:
-            return spark.read.parquet(bp)
-        prefix = f"batch{int(pb)}-"
-        files = []
-        for part in self.storage.list_dir(bp):
-            pdir = os.path.join(bp, part)
-            if not part.startswith("centroid_id="):
-                continue
-            for fname in self.storage.list_dir(pdir):
-                if fname.endswith(".parquet") and not fname.startswith(
-                    prefix
-                ):
-                    files.append(os.path.join(pdir, fname))
-        return spark.read.option("basePath", bp).parquet(*files)
+            df = spark.read.parquet(bp)
+        else:
+            prefix = f"batch{int(pb)}-"
+            files = []
+            for part in self.storage.list_dir(bp):
+                pdir = os.path.join(bp, part)
+                if not part.startswith("centroid_id="):
+                    continue
+                for fname in self.storage.list_dir(pdir):
+                    if fname.endswith(".parquet") and not fname.startswith(
+                        prefix
+                    ):
+                        files.append(os.path.join(pdir, fname))
+            df = spark.read.option("basePath", bp).parquet(*files)
+        dead = self.deleted_ids()
+        if len(dead):
+            # liveDocs filter: every serving path reads through here, so
+            # tombstoned vectors vanish from exact/quantized/radial results
+            # immediately. Broadcast anti-join — the fat side never
+            # shuffles. Compaction purges physically (it reads raw files,
+            # not this scan).
+            dead_df = spark.createDataFrame(
+                pd.DataFrame({"vec_id": dead}), "vec_id LONG"
+            )
+            df = df.join(F.broadcast(dead_df), "vec_id", "left_anti")
+        return df
 
 
 def load_vector_index(index_dir: str, storage=None) -> VectorIndexHandle:
