@@ -603,6 +603,35 @@ def test_compression_level_registry():
         codec_for_compression_level("x64")
 
 
+def test_mb_and_fp16_appends_serve(spark, tmp_path):
+    """Appended vectors thermometer-pack against the FROZEN mb thresholds
+    and store fp16 copies (manifest-driven, like bq) — an appended vector
+    queried against itself ranks #1 under both codecs."""
+    from pyspark.sql import functions as F
+
+    from opensearch_jvector_plugin_spark.operators.vector_index import (
+        append_vectors,
+        ivf_search as ivf_q,
+    )
+
+    emb = spark.read.parquet(EMB)
+    d = str(tmp_path / "vidx_mbfp_app")
+    build_vector_index(emb.where(F.col("vec_id") < 400), d, n_centroids=8,
+                       mb_bits=2, fp16=True)
+    th = load_vector_index(d).mb_thresholds()
+    append_vectors(emb.where(F.col("vec_id") >= 400), d, batch_id=1)
+    idx = load_vector_index(d)
+    np.testing.assert_array_equal(idx.mb_thresholds(), th)
+    q = emb.where(F.col("vec_id") == 450).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    ).toPandas()
+    for codec in ("mb2", "fp16"):
+        res = ivf_q(spark, idx, q, k=1, nprobe=2, codec=codec,
+                    approximate_threshold=None).toPandas()
+        assert list(res["vec_id"]) == [450], codec
+
+
 def test_fp16_codec_near_exact_and_gated(spark, tmp_path):
     """The x2 level: half-precision copies stored at build (fp16=True,
     2*dim bytes/vector), served as a near-exact first pass + exact rerank —
