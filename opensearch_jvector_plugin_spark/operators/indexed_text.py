@@ -231,15 +231,18 @@ def search_weighted_all(
     postings = _segment_granularity(spark, postings, index, "seg_id")
 
     avgdl = index.avgdl
+    _del = index.deleted()
     bc = spark.sparkContext.broadcast(
         {"w": weights, "msm": msm, "must": must, "n_must": n_must,
-         "must_not": must_not}
+         "must_not": must_not,
+         "denied": _del if len(_del) else None}
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from .wand import _tf_norm_np
 
         q = bc.value
+        denied = q["denied"]
         decoded = decode_segment_postings(pdf)
         norm_cache: dict[str, np.ndarray] = {}
 
@@ -267,6 +270,14 @@ def search_weighted_all(
                 np.add.at(scores, pos, wmap[t] * norm_of(t))
                 nmatch[pos] += 1
             keep = np.ones(len(cand), dtype=bool)
+            if denied is not None:
+                # liveDocs mask (operators/deletes.py contract): tombstoned
+                # docs never emit. Applied as a keep-gate — NOT by shrinking
+                # cand — because the scoring/must searchsorted calls above
+                # and below rely on every term's doc list being ⊆ cand.
+                m = np.searchsorted(denied, cand)
+                m[m == len(denied)] = 0
+                keep &= denied[m] != cand
             if qid in q["msm"]:
                 keep &= nmatch >= q["msm"][qid]
             req = q["n_must"].get(qid, 0)

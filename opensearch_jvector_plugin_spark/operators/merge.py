@@ -69,6 +69,17 @@ def merge_segments(
     group_of = {s: i // fan_in for i, s in enumerate(seg_ids)}
     merged_dir = index.merged_path
     os.makedirs(merged_dir, exist_ok=True)
+    # Drop stale output dirs from a previous merge with a different output
+    # set (e.g. a larger fan_in produced more merged segments): the
+    # post-purge dict rebuild and the serving scan read merged_dir
+    # wholesale, so a surviving stale seg_id=N dir would double-count
+    # df/ctf and duplicate postings.
+    import shutil
+
+    out_ids = {f"seg_id={g}" for g in set(group_of.values())}
+    for name in os.listdir(merged_dir):
+        if name.startswith("seg_id=") and name not in out_ids:
+            shutil.rmtree(os.path.join(merged_dir, name), ignore_errors=True)
 
     mapping = spark.createDataFrame(
         [(int(s), int(g)) for s, g in group_of.items()],

@@ -573,13 +573,23 @@ def search_phrase(
     needed = sorted({t for ts in live.values() for t in ts})
     postings = _filter_terms(spark, spark.read.parquet(base), needed)
     postings = _segment_granularity(spark, postings, index, "seg_id")
-    bc_live = spark.sparkContext.broadcast(live)
+    _del = index.deleted()
+    bc_live = spark.sparkContext.broadcast(
+        (live, _del if len(_del) else None)
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        live_map, denied = bc_live.value
         decoded = decode_segment_postings(pdf)
         out_q, out_d = [], []
-        for qid, ts in bc_live.value.items():
+        for qid, ts in live_map.items():
             cand = _conjunction_docs(decoded, ts)
+            if denied is not None and len(cand):
+                # liveDocs mask: tombstoned docs are not phrase candidates
+                # (same sorted-membership test as the MaxScore kernel's).
+                pos = np.searchsorted(denied, cand)
+                pos[pos == len(denied)] = 0
+                cand = cand[denied[pos] != cand]
             if len(cand):
                 out_q.append(np.full(len(cand), qid, dtype=np.int32))
                 out_d.append(cand)

@@ -51,7 +51,12 @@ def _session_kernel(gap_s: int):
         ev = pd.concat(list(pdfs), ignore_index=True)
         if not len(ev):
             return
-        ts = (ev["ts"].astype("int64") // 10**9).to_numpy()
+        # Pin the unit: parquet/Arrow round-trips may surface datetime64[us]
+        # (pandas 2.x), where a bare astype('int64') would yield
+        # microseconds and shrink every epoch second 1000x.
+        ts = (
+            ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+        ).to_numpy()
         order = ev.assign(_t=ts).sort_values(["_t", "event_id"]).index
         out: list[tuple] = []
         if state.exists:

@@ -148,3 +148,92 @@ def test_allowed_filter_composes_with_deletes(spark, built):
     res = search(spark, idx, _q(), allowed_docs=allowed).toPandas()
     assert victim not in set(res["doc_id"])
     assert set(res["doc_id"]) <= set(allowed.tolist())
+
+
+def test_msm_boolean_respect_deletes(spark, built):
+    """Round-7 fix: the gated full-scoring kernel (search_weighted_all
+    behind search_msm / search_boolean) applies the liveDocs mask."""
+    from opensearch_jvector_plugin_spark.operators.indexed_text import (
+        search_boolean,
+        search_msm,
+    )
+
+    idx = load_index(built)
+    q = _q()[["query_id", "query_text"]]
+    before = search_msm(spark, idx, q, msm={0: 1}).toPandas()
+    assert len(before) > 2
+    victims = sorted(before["doc_id"].astype(int).iloc[:2])
+    delete_docs(built, victims)
+    after = search_msm(spark, idx, q, msm={0: 1}).toPandas()
+    assert not set(victims) & set(after["doc_id"])
+    assert len(after) == len(before) - 2
+    # Surviving docs keep their exact (stale-stats) scores.
+    b = before.set_index("doc_id")["score"]
+    for r in after.itertuples(index=False):
+        assert b[r.doc_id] == r.score
+
+    bq = pd.DataFrame(
+        [(0, None, _q().iloc[0]["query_text"], None)],
+        columns=["query_id", "must_text", "should_text", "must_not_text"],
+    )
+    bool_after = search_boolean(spark, idx, bq).toPandas()
+    assert not set(victims) & set(bool_after["doc_id"])
+
+
+def test_indexed_phrase_respects_deletes(spark, built, tiny_corpus_pdf):
+    from opensearch_jvector_plugin_spark.functions.tokenizer import (
+        tokenize_text,
+    )
+    from opensearch_jvector_plugin_spark.operators.phrase import search_phrase
+
+    corpus = spark.createDataFrame(tiny_corpus_pdf)
+    idx = load_index(built)
+    # A phrase taken verbatim from doc 0 -> doc 0 is a guaranteed match.
+    toks = tokenize_text(tiny_corpus_pdf.iloc[0]["text"])
+    q = pd.DataFrame(
+        [(0, f"{toks[0]} {toks[1]}", 50)],
+        columns=["query_id", "query_text", "k"],
+    )
+    before = search_phrase(spark, idx, corpus, q).toPandas()
+    assert 0 in set(before["doc_id"])
+    delete_docs(built, [0])
+    after = search_phrase(spark, idx, corpus, q).toPandas()
+    assert 0 not in set(after["doc_id"])
+    assert len(after) == len(before) - 1
+
+
+def test_remerge_with_smaller_output_set_drops_stale_dirs(spark, built):
+    """Round-7 fix: a merge whose output set is smaller than a previous
+    merge's must remove the stale seg_id dirs (else the dict rebuild
+    double-counts df/ctf and the merged scan reads duplicated postings)."""
+    idx = load_index(built)
+    n_segs = idx.n_segments
+    assert n_segs >= 2
+    merge_segments(spark, idx, fan_in=1)  # one output dir per input segment
+    merged_dirs = {
+        d for d in os.listdir(idx.merged_path) if d.startswith("seg_id=")
+    }
+    assert len(merged_dirs) == n_segs
+    # Delete something so the second merge rebuilds the dict from merged.
+    hits = search(spark, idx, _q()).toPandas()
+    delete_docs(built, [int(hits.iloc[0]["doc_id"])])
+    merge_segments(spark, load_index(built))  # fan_in=None -> ONE output
+    remaining = {
+        d for d in os.listdir(idx.merged_path) if d.startswith("seg_id=")
+    }
+    assert remaining == {"seg_id=0"}
+    # Dict df equals the merged postings' df (no double counting).
+    idx2 = load_index(built)
+    merged_df = (
+        spark.read.parquet(idx2.merged_path)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .toPandas()
+        .set_index("term")["df"]
+    )
+    dict_df = (
+        spark.read.parquet(os.path.join(built, "dict"))
+        .toPandas()
+        .set_index("term")["df"]
+    )
+    assert merged_df.sort_index().equals(dict_df.sort_index().astype(merged_df.dtype))
