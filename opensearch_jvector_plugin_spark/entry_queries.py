@@ -84,13 +84,98 @@ def _rank_rounded(scored: DataFrame, ks: DataFrame, score_col: str = "score") ->
     )
 
 
+class _CorpusState:
+    """Per-process derived corpus artifacts shared by the declarative query
+    family (round 7, guide §1.2/§2.4): the tokenized corpus (term-vectors
+    sidecar), the flat postings relation, the global term-df table, and the
+    corpus stats — derived ONCE per sf_dir from documents.parquet and
+    persisted to scratch parquet, then read by every subsequent declarative
+    query instead of re-tokenizing the corpus per call. These are exactly
+    the frames postings_df / corpus_stats / tokenize_col compute (same
+    expressions, via one shared tokenize pass), so every consumer is
+    value-identical to before; only the derivation count changes (measured:
+    the old plan paid TWO full tokenize passes per query — a stats pass and
+    a postings pass). The reference's analog: Lucene serves every query
+    from the persisted segment structures and never rescans source text."""
+
+    def __init__(self, dir_: str, stats):
+        self.dir = dir_
+        self.stats = stats
+
+    def toks(self, spark: SparkSession) -> DataFrame:
+        """(doc_id LONG, toks ARRAY<STRING>, dl INT) — pre-tokenized corpus."""
+        return spark.read.parquet(os.path.join(self.dir, "toks"))
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, dl, term, tf) — the postings_df(corpus) relation."""
+        return spark.read.parquet(os.path.join(self.dir, "postings"))
+
+    def term_df(self, spark: SparkSession) -> DataFrame:
+        """(term, df) — global document frequencies."""
+        return spark.read.parquet(os.path.join(self.dir, "term_df"))
+
+
+_CORPUS_STATE: dict[str, _CorpusState] = {}
+
+
+def _corpus_state(spark: SparkSession, sf_dir: str) -> _CorpusState:
+    if sf_dir not in _CORPUS_STATE:
+        from .functions.tokenizer import tokenize_col
+        from .plans.stats import CorpusStats
+
+        d = tempfile.mkdtemp(prefix="ojs_cstate_")
+        docs = _docs(spark, sf_dir)
+        (
+            docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                tokenize_col("text").alias("toks"),
+            )
+            .withColumn("dl", F.size("toks").cast("int"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "toks"))
+        )
+        tdf = spark.read.parquet(os.path.join(d, "toks"))
+        row = tdf.select(
+            F.count("*").alias("n"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        ).collect()[0]
+        stats = CorpusStats(
+            n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0)
+        )
+        (
+            tdf.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").cast("int").alias("tf"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "postings"))
+        )
+        (
+            spark.read.parquet(os.path.join(d, "postings"))
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "term_df"))
+        )
+        _CORPUS_STATE[sf_dir] = _CorpusState(d, stats)
+    return _CORPUS_STATE[sf_dir]
+
+
+def _state_kw(spark: SparkSession, sf_dir: str) -> dict:
+    """Keyword bundle for operators following the score_all state API."""
+    st = _corpus_state(spark, sf_dir)
+    return {
+        "stats": st.stats,
+        "postings": st.postings(spark),
+        "term_df": st.term_df(spark),
+    }
+
+
 # ------------------------------------------------------------- BM25 family ---
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
     queries = _queries_df(spark)
-    scored = score_all(docs, queries)
+    scored = score_all(None, queries, **_state_kw(spark, sf_dir))
     ks = queries.select("query_id", F.col("k").alias("_k"))
     return _rank_rounded(scored, ks)
 
@@ -112,10 +197,9 @@ def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/synonyms.py)."""
     from .operators.synonyms import synonym_scores
 
-    docs = _docs(spark, sf_dir)
     queries = _queries_df(spark)
     syn = spark.createDataFrame(SYNONYM_PAIRS, "term STRING, member STRING")
-    scored = synonym_scores(docs, queries, syn)
+    scored = synonym_scores(None, queries, syn, **_state_kw(spark, sf_dir))
     ks = queries.select("query_id", F.col("k").alias("_k"))
     return _rank_rounded(scored, ks)
 
@@ -132,11 +216,10 @@ def q_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     Seed 7 is the planted-rare-term document."""
     from .operators.morelikethis import more_like_this
 
-    docs = _docs(spark, sf_dir)
     seeds = spark.createDataFrame(
         MLT_SEEDS, "query_id INT, seed_doc_id LONG"
     )
-    scored = more_like_this(docs, seeds)
+    scored = more_like_this(None, seeds, **_state_kw(spark, sf_dir))
     ks = spark.createDataFrame(
         [(q, MLT_K) for q, _s in MLT_SEEDS], "query_id INT, _k LONG"
     )
@@ -166,7 +249,7 @@ def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.rescorer import query_rescore, rescored_topk
 
-    docs = _docs(spark, sf_dir)
+    st = _corpus_state(spark, sf_dir)
     primary_qdf = spark.createDataFrame(
         [(q, t, k) for q, t, _p, k in RESCORE_QUERIES],
         "query_id INT, query_text STRING, k LONG",
@@ -176,8 +259,9 @@ def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["query_id", "query_text", "k"],
     )
     rescored = query_rescore(
-        score_all(docs, primary_qdf),
-        phrase_scores(docs, phrase_pdf),
+        score_all(None, primary_qdf, stats=st.stats,
+                  postings=st.postings(spark), term_df=st.term_df(spark)),
+        phrase_scores(None, phrase_pdf, base=st.toks(spark)),
         RESCORE_WINDOW,
         query_weight=RESCORE_QUERY_WEIGHT,
         rescore_query_weight=RESCORE_RESCORE_WEIGHT,
@@ -203,16 +287,11 @@ def q_bm25_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/suggest.py)."""
     from .operators.suggest import term_suggest
 
-    postings = postings_df(_docs(spark, sf_dir)).persist()
-    term_df = postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
-    )
     qdf = spark.createDataFrame(
         SUGGEST_QUERIES, "query_id INT, query_text STRING"
     )
-    out = term_suggest(term_df, qdf, size=SUGGEST_SIZE)
-    out._ojs_persisted = postings
-    return out
+    term_df = _corpus_state(spark, sf_dir).term_df(spark)
+    return term_suggest(term_df, qdf, size=SUGGEST_SIZE)
 
 
 # Whole-phrase did-you-mean set: leading-token misspelling, all-in-dict
@@ -240,8 +319,10 @@ def q_bm25_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpdf = pd.DataFrame(
         PHRASE_SUGGEST_QUERIES, columns=["query_id", "query_text"]
     )
+    st = _corpus_state(spark, sf_dir)
     return phrase_suggest(
-        _docs(spark, sf_dir), qpdf, size=PHRASE_SUGGEST_SIZE
+        _docs(spark, sf_dir), qpdf, size=PHRASE_SUGGEST_SIZE,
+        term_df=st.term_df(spark), base=st.toks(spark),
     )
 
 
@@ -252,9 +333,8 @@ def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose page 1 came back short yield no cursor and no rows."""
     from .operators.paginate import page_cursors, search_after
 
-    docs = _docs(spark, sf_dir)
     queries = _queries_df(spark)
-    scored = score_all(docs, queries)
+    scored = score_all(None, queries, **_state_kw(spark, sf_dir))
     ks = queries.select("query_id", F.col("k").alias("_k"))
     page1 = _rank_rounded(scored, ks)
     return search_after(scored, page_cursors(page1, ks))
@@ -266,14 +346,14 @@ def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, doc) group is exactly the hit score (operators/explain.py)."""
     from .operators.explain import explain_hits
 
-    docs = _docs(spark, sf_dir)
     queries = _queries_df(spark)
-    scored = score_all(docs, queries)
+    kw = _state_kw(spark, sf_dir)
+    scored = score_all(None, queries, **kw)
     ks3 = queries.select(
         "query_id", F.lit(EXPLAIN_TOP_K).cast("long").alias("_k")
     )
     hits = _rank_rounded(scored, ks3).select("query_id", "doc_id")
-    return explain_hits(docs, queries, hits)
+    return explain_hits(None, queries, hits, **kw)
 
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -399,20 +479,17 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics stay whole-corpus (Lucene filtered-search behavior)."""
     docs = _docs(spark, sf_dir)
     queries = _queries_df(spark)
-    full_stats = corpus_stats(docs)
-    postings = postings_df(docs).join(
+    st = _corpus_state(spark, sf_dir)
+    postings = st.postings(spark).join(
         docs.where(F.col("lang") == "en").select(
             F.col("doc_id").cast("long").alias("doc_id")
         ),
         "doc_id",
         "left_semi",
     )
-    # df for idf must be whole-corpus too.
-    term_df = postings_df(docs).groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
-    )
-    scored = score_all(docs, queries, stats=full_stats, postings=postings,
-                       term_df=term_df)
+    # df for idf (term_df) and stats stay whole-corpus.
+    scored = score_all(None, queries, stats=st.stats, postings=postings,
+                       term_df=st.term_df(spark))
     ks = queries.select("query_id", F.col("k").alias("_k"))
     return _rank_rounded(scored, ks)
 
@@ -449,7 +526,10 @@ def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional projection over the tokenized scan (no explode, no shuffle),
     scored Lucene-PhraseWeight-style (idf sum over phrase occurrences ×
     tf_norm at exact dl)."""
-    scored = phrase_scores(_docs(spark, sf_dir), _phrase_queries_pdf())
+    scored = phrase_scores(
+        None, _phrase_queries_pdf(),
+        base=_corpus_state(spark, sf_dir).toks(spark),
+    )
     return _rank_rounded(scored, _phrase_ks(spark))
 
 
@@ -459,7 +539,8 @@ def q_bm25_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification of the candidates only (operators/phrase.py)."""
     idx = load_index(_index_for(spark, sf_dir))
     scored = search_phrase(
-        spark, idx, _docs(spark, sf_dir), _phrase_queries_pdf()
+        spark, idx, None, _phrase_queries_pdf(),
+        toksed=_corpus_state(spark, sf_dir).toks(spark),
     )
     return _rank_rounded(scored, _phrase_ks(spark))
 
@@ -485,7 +566,9 @@ def q_bm25_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.phrase import match_phrase_prefix_scores
 
     qpdf = pd.DataFrame(MPP_QUERIES, columns=["query_id", "query_text", "k"])
-    scored = match_phrase_prefix_scores(_docs(spark, sf_dir), qpdf)
+    scored = match_phrase_prefix_scores(
+        None, qpdf, base=_corpus_state(spark, sf_dir).toks(spark)
+    )
     ks = spark.createDataFrame(
         [(q, k) for q, _t, k in MPP_QUERIES], "query_id INT, _k LONG"
     )
@@ -514,7 +597,9 @@ def q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpdf = pd.DataFrame(
         NEAR_QUERIES, columns=["query_id", "term1", "term2", "slop", "k"]
     )
-    scored = near_scores(_docs(spark, sf_dir), qpdf)
+    scored = near_scores(
+        None, qpdf, base=_corpus_state(spark, sf_dir).toks(spark)
+    )
     ks = spark.createDataFrame(
         [(q, k) for q, _a, _b, _s, k in NEAR_QUERIES],
         "query_id INT, _k LONG",
@@ -546,7 +631,9 @@ def q_bm25_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(q, t, s) for q, t, s, _k in SLOPPY_QUERIES],
         columns=["query_id", "query_text", "slop"],
     )
-    scored = sloppy_scores(_docs(spark, sf_dir), qpdf)
+    scored = sloppy_scores(
+        None, qpdf, base=_corpus_state(spark, sf_dir).toks(spark)
+    )
     ks = spark.createDataFrame(
         [(q, k) for q, _t, _s, k in SLOPPY_QUERIES], "query_id INT, _k LONG"
     )
@@ -573,7 +660,8 @@ def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id INT, query_text STRING, k LONG",
     )
     scored = msm_scores(
-        _docs(spark, sf_dir), queries, {q: m for q, _t, _k, m in MSM_QUERIES}
+        None, queries, {q: m for q, _t, _k, m in MSM_QUERIES},
+        **_state_kw(spark, sf_dir),
     )
     ks = spark.createDataFrame(
         [(q, k) for q, _t, k, _m in MSM_QUERIES], "query_id INT, _k LONG"
@@ -601,7 +689,7 @@ def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(
         FUZZY_QUERIES, "query_id INT, query_text STRING, k LONG"
     )
-    scored = fuzzy_scores(_docs(spark, sf_dir), queries)
+    scored = fuzzy_scores(None, queries, **_state_kw(spark, sf_dir))
     ks = queries.select("query_id", F.col("k").alias("_k"))
     out = _rank_rounded(scored, ks)
     return out
@@ -629,7 +717,7 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id INT, must_text STRING, should_text STRING,"
         " must_not_text STRING, k LONG",
     )
-    scored = boolean_scores(_docs(spark, sf_dir), bq)
+    scored = boolean_scores(None, bq, **_state_kw(spark, sf_dir))
     ks = bq.select("query_id", F.col("k").alias("_k"))
     return _rank_rounded(scored, ks)
 
@@ -657,7 +745,7 @@ def q_bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id INT, positive_text STRING, negative_text STRING,"
         " negative_boost DOUBLE",
     )
-    scored = boosting_scores(_docs(spark, sf_dir), bq)
+    scored = boosting_scores(None, bq, **_state_kw(spark, sf_dir))
     ks = spark.createDataFrame(
         [(q, k) for q, _p, _n, _b, k in BOOSTING_QUERIES],
         "query_id INT, _k LONG",
@@ -684,7 +772,8 @@ def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.fuzzy import wildcard_scores
 
     scored = wildcard_scores(
-        _docs(spark, sf_dir), [(q, p) for q, p, _k in WILDCARD_QUERIES]
+        None, [(q, p) for q, p, _k in WILDCARD_QUERIES],
+        **_state_kw(spark, sf_dir),
     )
     ks = spark.createDataFrame(
         [(q, k) for q, _p, k in WILDCARD_QUERIES], "query_id INT, _k LONG"
@@ -710,7 +799,8 @@ def q_bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.fuzzy import regexp_scores
 
     scored = regexp_scores(
-        _docs(spark, sf_dir), [(q, p) for q, p, _k in REGEXP_QUERIES]
+        None, [(q, p) for q, p, _k in REGEXP_QUERIES],
+        **_state_kw(spark, sf_dir),
     )
     ks = spark.createDataFrame(
         [(q, k) for q, _p, k in REGEXP_QUERIES], "query_id INT, _k LONG"
@@ -739,7 +829,7 @@ def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(
         PREFIX_QUERIES, "query_id INT, query_text STRING, k LONG"
     )
-    scored = prefix_scores(_docs(spark, sf_dir), queries)
+    scored = prefix_scores(None, queries, **_state_kw(spark, sf_dir))
     ks = queries.select("query_id", F.col("k").alias("_k"))
     return _rank_rounded(scored, ks)
 
@@ -861,14 +951,16 @@ def q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.expand import highlight_hits
     from .operators.score import query_terms_df
 
-    docs = _docs(spark, sf_dir)
     topk = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
     qt = query_terms_df(_queries_df(spark))
-    return highlight_hits(topk, docs, qt, window=HL_WINDOW)
+    return highlight_hits(
+        topk, None, qt, window=HL_WINDOW,
+        toksed=_corpus_state(spark, sf_dir).toks(spark),
+    )
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stats = term_stats(postings_df(_docs(spark, sf_dir)))
+    stats = term_stats(_corpus_state(spark, sf_dir).postings(spark))
     return (
         stats.where(F.col("term").isin(STAT_TERMS))
         .select("term", "df", "ctf", "max_tf")
@@ -888,7 +980,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_postings_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = postings_df(_docs(spark, sf_dir))
+    p = _corpus_state(spark, sf_dir).postings(spark)
     return p.where(F.col("term").isin(["spark", "customer", "vector"])).select(
         "term", "doc_id", "tf", F.col("dl").cast("long").alias("dl")
     )
@@ -1481,9 +1573,105 @@ def q_script_score_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- transcript flagship ---
 
-_TRANSCRIPT_IDX: dict[str, str] = {}
 _TRANSCRIPT_N_CONVS = 150
 _TRANSCRIPT_TURNS = 10
+
+
+class _TranscriptState:
+    """Per-process transcript corpus artifacts (round 7): the memoized
+    segment index (unchanged) plus parquet sidecars derived from the SAME
+    docID-assigned corpus in the one-time build — attrs (no text), the
+    flat text postings + term_df, the per-field postings for multi_match —
+    and the corpus stats read back from the index's stats.json (equal by
+    construction: n_docs/avgdl are the committed segment sums). Every
+    transcript query then serves from persisted artifacts instead of
+    re-synthesizing + re-assigning docIDs + re-tokenizing the corpus per
+    call (measured: 0.8s of synthesize+assign jobs plus up to two tokenize
+    passes per agg query at sf0.1)."""
+
+    def __init__(self, idx_dir: str, side_dir: str, stats):
+        self.idx_dir = idx_dir
+        self.side_dir = side_dir
+        self.stats = stats
+
+    def attrs(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, conv_id, turn_idx, role, tool, ts)."""
+        return spark.read.parquet(os.path.join(self.side_dir, "attrs"))
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.side_dir, "postings"))
+
+    def term_df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.side_dir, "term_df"))
+
+    def field_postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.side_dir, "field_postings")
+        )
+
+    def state_kw(self, spark: SparkSession) -> dict:
+        return {
+            "stats": self.stats,
+            "postings": self.postings(spark),
+            "term_df": self.term_df(spark),
+        }
+
+
+_TRANSCRIPT_STATE: dict[str, _TranscriptState] = {}
+
+
+def _transcript_state(spark: SparkSession) -> _TranscriptState:
+    if "state" not in _TRANSCRIPT_STATE:
+        import json
+
+        from .operators.dismax import field_postings_df
+        from .plans.docids import assign_doc_ids
+        from .plans.stats import CorpusStats
+        from .sources.transcripts import synthesize_transcripts
+
+        idx_dir = tempfile.mkdtemp(prefix="ojs_tidx_")
+        side_dir = tempfile.mkdtemp(prefix="ojs_tside_")
+        corpus = assign_doc_ids(
+            synthesize_transcripts(
+                spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS
+            ),
+            ["conv_id", "turn_idx"],
+        )
+        build_index(corpus, idx_dir, seg_size=300)
+        (
+            corpus.select(
+                "doc_id", "conv_id", "turn_idx", "role", "tool", "ts"
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(side_dir, "attrs"))
+        )
+        postings_df(corpus).write.mode("overwrite").parquet(
+            os.path.join(side_dir, "postings")
+        )
+        (
+            spark.read.parquet(os.path.join(side_dir, "postings"))
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(side_dir, "term_df"))
+        )
+        field_postings_df(
+            corpus, [n for n, _b in MULTI_MATCH_FIELDS]
+        ).write.mode("overwrite").parquet(
+            os.path.join(side_dir, "field_postings")
+        )
+        persisted = getattr(corpus, "_ojs_persisted", None)
+        if persisted is not None:
+            persisted.unpersist()
+        with open(os.path.join(idx_dir, "stats.json")) as f:
+            s = json.load(f)
+        stats = CorpusStats(
+            n_docs=int(s["n_docs"]), avgdl=float(s["avgdl"])
+        )
+        _TRANSCRIPT_STATE["state"] = _TranscriptState(
+            idx_dir, side_dir, stats
+        )
+    return _TRANSCRIPT_STATE["state"]
 
 
 def _transcript_parquet() -> str:
@@ -1523,23 +1711,9 @@ def q_transcript_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number over (conv_id, turn_idx) - 1 — hash-matching it also proves
     the per-row text-equality invariant between the distributed synthesis +
     docID assignment and the driver-side twin."""
-    import pandas as pd
+    from .sources.transcripts import reference_queries
 
-    from .plans.docids import assign_doc_ids
-    from .sources.transcripts import reference_queries, synthesize_transcripts
-
-    key = f"{sf_dir}:transcripts"
-    if key not in _TRANSCRIPT_IDX:
-        idx_dir = tempfile.mkdtemp(prefix="ojs_tidx_")
-        corpus = assign_doc_ids(
-            synthesize_transcripts(
-                spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS
-            ),
-            ["conv_id", "turn_idx"],
-        )
-        build_index(corpus, idx_dir, seg_size=300)
-        _TRANSCRIPT_IDX[key] = idx_dir
-    idx = load_index(_TRANSCRIPT_IDX[key])
+    idx = load_index(_transcript_state(spark).idx_dir)
     qpdf = reference_queries(_TRANSCRIPT_N_CONVS * _TRANSCRIPT_TURNS)
     # tie_epsilon = round-6 quantum: the raw-score cut also returns rounded-
     # tie boundary docs, then the shared round-6 re-rank resolves them
@@ -1576,40 +1750,40 @@ def q_transcript_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     text^1.0 and tool^2.0, combined per doc with DisjunctionMax +
     tie_breaker 0.3 (operators/dismax.py)."""
     from .operators.dismax import multi_match_scores
-    from .plans.docids import assign_doc_ids
-    from .sources.transcripts import synthesize_transcripts
 
-    corpus = assign_doc_ids(
-        synthesize_transcripts(spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS),
-        ["conv_id", "turn_idx"],
-    )
     qdf = spark.createDataFrame(
         MULTI_MATCH_QUERIES, "query_id INT, query_text STRING, k LONG"
     )
+    # Round 7: per-field postings come from the persisted sidecar (the
+    # mapper's per-field similarity state) — no corpus re-synthesis or
+    # re-tokenize per call.
     scored = multi_match_scores(
-        corpus,
+        None,
         qdf,
         MULTI_MATCH_FIELDS,
         tie_breaker=MULTI_MATCH_TIE_BREAKER,
+        postings=_transcript_state(spark).field_postings(spark),
     )
     ks = qdf.select("query_id", F.col("k").alias("_k"))
     return _rank_rounded(scored, ks)
 
 
 def _transcript_corpus_scored(spark: SparkSession):
-    """(corpus with doc_id, full scored relation, query pdf) — the shared
-    front half of the collapse / function_score queries: exact BM25 over
-    the transcript corpus on the reference query set."""
-    from .plans.docids import assign_doc_ids
-    from .sources.transcripts import reference_queries, synthesize_transcripts
+    """(corpus attrs with doc_id, full scored relation, query pdf) — the
+    shared front half of the collapse / function_score queries: exact BM25
+    over the transcript corpus on the reference query set. Round 7: both
+    halves serve from the persisted transcript state — the scored relation
+    from the flat postings + term_df + stats sidecars (score_all with
+    precomputed state: zero corpus tokenize, zero stats action per call),
+    the attrs from the attrs sidecar — instead of re-synthesizing and
+    re-scanning the corpus per query (the VERDICT r6 scale-killer note)."""
+    from .sources.transcripts import reference_queries
 
-    corpus = assign_doc_ids(
-        synthesize_transcripts(spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS),
-        ["conv_id", "turn_idx"],
-    )
+    st = _transcript_state(spark)
     qpdf = reference_queries(_TRANSCRIPT_N_CONVS * _TRANSCRIPT_TURNS)
     qdf = spark.createDataFrame(qpdf)
-    return corpus, score_all(corpus, qdf), qpdf
+    scored = score_all(None, qdf, **st.state_kw(spark))
+    return st.attrs(spark), scored, qpdf
 
 
 def q_transcript_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1714,30 +1888,20 @@ def q_transcript_significant_terms(
     set: foreground = each query's hits, background = the whole corpus
     (operators/aggs.py)."""
     from .operators.aggs import significant_terms_agg
-    from .plans.docids import assign_doc_ids
-    from .plans.stats import corpus_stats, postings_df
-    from .sources.transcripts import synthesize_transcripts
 
     hits = q_transcript_bm25_indexed(spark, sf_dir)
-    corpus = assign_doc_ids(
-        synthesize_transcripts(spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS),
-        ["conv_id", "turn_idx"],
-    )
-    postings = postings_df(corpus).persist()
-    term_df = postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
-    )
-    stats = corpus_stats(corpus)
-    out = significant_terms_agg(
+    # Round 7: foreground/background term statistics come from the
+    # persisted postings + term_df sidecars (the same tables the index
+    # persists) — no corpus re-synthesis, re-tokenize, or stats action.
+    st = _transcript_state(spark)
+    return significant_terms_agg(
         hits,
-        postings,
-        term_df,
-        float(stats.n_docs),
+        st.postings(spark),
+        st.term_df(spark),
+        float(st.stats.n_docs),
         size=SIG_TERMS_SIZE,
         min_doc_count=SIG_TERMS_MIN_DOC_COUNT,
     )
-    out._ojs_persisted = postings
-    return out
 
 
 # ------------------------------------------------- search-hit aggregations ---
@@ -1747,14 +1911,13 @@ DATE_HISTOGRAM_INTERVAL_S = 3600  # conv spacing -> per-conversation buckets
 
 
 def _transcript_attrs(spark: SparkSession) -> DataFrame:
-    """docID-assigned transcript attribute columns (no text)."""
-    from .plans.docids import assign_doc_ids
-    from .sources.transcripts import synthesize_transcripts
-
-    return assign_doc_ids(
-        synthesize_transcripts(spark, _TRANSCRIPT_N_CONVS, _TRANSCRIPT_TURNS),
-        ["conv_id", "turn_idx"],
-    ).select("doc_id", "conv_id", "role", "tool", "ts", "turn_idx")
+    """docID-assigned transcript attribute columns (no text) — served from
+    the persisted sidecar (round 7): one parquet read instead of
+    re-synthesizing the corpus and re-running docID assignment (a range
+    shuffle + two driver actions) per agg query."""
+    return _transcript_state(spark).attrs(spark).select(
+        "doc_id", "conv_id", "role", "tool", "ts", "turn_idx"
+    )
 
 
 def q_transcript_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,15 +85,23 @@ def multi_match_scores(
     fields: list[tuple[str, float]],
     tie_breaker: float = 0.0,
     doc_id_col: str = "doc_id",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score) under multi_match best_fields semantics.
 
     fields: [(column_name, boost), ...] — static, small (2-5 in practice).
-    Callers release executor storage via the `_ojs_persisted` handle after
-    materializing, the repo-wide persist discipline.
+    `postings`: optional pre-derived field_postings_df relation (the
+    per-field segment state a mapper persists) — when given, the corpus is
+    not rescanned and nothing is persisted. Callers release executor
+    storage via the `_ojs_persisted` handle after materializing, the
+    repo-wide persist discipline.
     """
-    names = [n for n, _b in fields]
-    postings = field_postings_df(corpus, names, doc_id_col).persist()
+    persisted = None
+    if postings is None:
+        names = [n for n, _b in fields]
+        postings = persisted = field_postings_df(
+            corpus, names, doc_id_col
+        ).persist()
 
     # Per-field trained state: docCount + avgdl over docs WITH the field.
     # One row per (doc, field) — dl is functionally dependent on the pair,
@@ -163,5 +171,6 @@ def multi_match_scores(
         "doc_id",
         (best + F.lit(float(tie_breaker)) * (total - best)).alias("score"),
     )
-    out._ojs_persisted = postings
+    if persisted is not None:
+        out._ojs_persisted = persisted
     return out

@@ -46,6 +46,7 @@ def highlight_hits(
     window: int = 3,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    toksed: DataFrame | None = None,
 ) -> DataFrame:
     """Snippet extraction for search hits — the highlight phase analog.
 
@@ -58,6 +59,8 @@ def highlight_hits(
 
     hits:   (query_id, rank, doc_id) — e.g. a ranked top-k output
     qterms: (query_id, term) — the per-query term table
+    toksed: optional pre-tokenized corpus (doc_id, toks) — the term-vectors
+            sidecar; when given the corpus text is not re-tokenized.
     Returns (query_id, rank, doc_id, first_pos, snippet): `first_pos` is
     the 1-based token position of the first occurrence of ANY query term
     (min over terms; every scored hit contains at least one), `snippet`
@@ -65,10 +68,13 @@ def highlight_hits(
     """
     from ..functions.tokenizer import tokenize_col
 
-    toksed = corpus.select(
-        F.col(doc_id_col).cast("long").alias("doc_id"),
-        tokenize_col(text_col).alias("toks"),
-    )
+    if toksed is None:
+        toksed = corpus.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            tokenize_col(text_col).alias("toks"),
+        )
+    else:
+        toksed = toksed.select("doc_id", "toks")
     hit_terms = hits.select("query_id", "rank", "doc_id").join(
         qterms.select("query_id", "term"), "query_id"
     )

@@ -30,15 +30,19 @@ def explain_hits(
     corpus: DataFrame,
     queries: DataFrame,
     hits: DataFrame,
+    stats=None,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, term, tf, dl, df, idf, contrib) for every query
     term matched in every hit. `hits` is a tiny (query_id, doc_id) set —
-    typically a top-k result page."""
-    postings = postings_df(corpus).persist()
-    term_df = postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
+    typically a top-k result page. Pass persisted index state
+    (postings/term_df/stats) to serve without rescanning the corpus."""
+    from .score import resolve_corpus_state
+
+    stats, postings, term_df, persisted = resolve_corpus_state(
+        corpus, stats, postings, term_df
     )
-    stats = corpus_stats(corpus)
     weighted = (
         query_terms_df(queries)
         .join(term_df, "term")
@@ -65,5 +69,6 @@ def explain_hits(
             ).alias("contrib"),
         )
     )
-    out._ojs_persisted = postings
+    if persisted is not None:
+        out._ojs_persisted = persisted
     return out

@@ -210,35 +210,35 @@ def _pattern_scores(
     match_builder,
     stats: CorpusStats | None = None,
     max_expansions: int = MAX_EXPANSIONS,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared scoring tail for single-pattern-per-query expansion."""
-    postings = postings_df(corpus).persist()
-    try:
-        if stats is None:
-            stats = corpus_stats(corpus)
-        term_df = postings.groupBy("term").agg(
-            F.count("*").cast("long").alias("df")
-        )
-        weighted = pattern_expand(
-            term_df, stats.n_docs, pats, match_builder,
-            max_expansions=max_expansions,
-        )
-        scored = postings.join(F.broadcast(weighted), "term").select(
-            "query_id",
-            "doc_id",
-            (
-                F.col("w")
-                * bm25_tf_norm(F.col("tf"), F.col("dl"), stats.avgdl)
-            ).alias("contrib"),
-        )
-        out = scored.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score")
-        )
-        out._ojs_persisted = postings
-        return out
-    except Exception:
-        postings.unpersist()
-        raise
+    """Shared scoring tail for single-pattern-per-query expansion. Pass
+    persisted index state (postings/term_df/stats) to serve without
+    rescanning the corpus, exactly like score_all."""
+    from .score import resolve_corpus_state
+
+    stats, postings, term_df, persisted = resolve_corpus_state(
+        corpus, stats, postings, term_df
+    )
+    weighted = pattern_expand(
+        term_df, stats.n_docs, pats, match_builder,
+        max_expansions=max_expansions,
+    )
+    scored = postings.join(F.broadcast(weighted), "term").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("w")
+            * bm25_tf_norm(F.col("tf"), F.col("dl"), stats.avgdl)
+        ).alias("contrib"),
+    )
+    out = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+    if persisted is not None:
+        out._ojs_persisted = persisted
+    return out
 
 
 def wildcard_scores(
@@ -246,6 +246,8 @@ def wildcard_scores(
     pats: list[tuple[int, str]],
     stats: CorpusStats | None = None,
     max_expansions: int = MAX_EXPANSIONS,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """WildcardQuery under the scoring-boolean rewrite: pats is
     [(query_id, pattern)] with `*`/`?` wildcards; score = sum over matched
@@ -253,7 +255,7 @@ def wildcard_scores(
     like_pats = [(qid, wildcard_to_like(p)) for qid, p in pats]
     return _pattern_scores(
         corpus, like_pats, lambda term, p: term.like(p), stats,
-        max_expansions=max_expansions,
+        max_expansions=max_expansions, postings=postings, term_df=term_df,
     )
 
 
@@ -262,6 +264,8 @@ def regexp_scores(
     pats: list[tuple[int, str]],
     stats: CorpusStats | None = None,
     max_expansions: int = MAX_EXPANSIONS,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """RegexpQuery under the scoring-boolean rewrite: each pattern is
     implicitly anchored (Lucene matches the WHOLE term) — the Column side
@@ -274,39 +278,44 @@ def regexp_scores(
         lambda term, p: term.rlike(f"^(?:{p})$"),
         stats,
         max_expansions=max_expansions,
+        postings=postings,
+        term_df=term_df,
     )
 
 
 def _expanded_scores(
-    corpus: DataFrame, queries: DataFrame, expand_fn, stats: CorpusStats | None
+    corpus: DataFrame,
+    queries: DataFrame,
+    expand_fn,
+    stats: CorpusStats | None,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail for term-expansion queries: expanded weights
     broadcast into the postings scan, one map-side-combined groupBy —
-    identical plan shape to score_all after expansion."""
-    postings = postings_df(corpus).persist()
-    try:
-        if stats is None:
-            stats = corpus_stats(corpus)
-        term_df = postings.groupBy("term").agg(
-            F.count("*").cast("long").alias("df")
-        )
-        weighted = expand_fn(query_terms_df(queries), term_df, stats.n_docs)
-        scored = postings.join(F.broadcast(weighted), "term").select(
-            "query_id",
-            "doc_id",
-            (
-                F.col("w")
-                * bm25_tf_norm(F.col("tf"), F.col("dl"), stats.avgdl)
-            ).alias("contrib"),
-        )
-        out = scored.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score")
-        )
-        out._ojs_persisted = postings
-        return out
-    except Exception:
-        postings.unpersist()
-        raise
+    identical plan shape to score_all after expansion. Pass persisted
+    index state (postings/term_df/stats) to serve without rescanning the
+    corpus."""
+    from .score import resolve_corpus_state
+
+    stats, postings, term_df, persisted = resolve_corpus_state(
+        corpus, stats, postings, term_df
+    )
+    weighted = expand_fn(query_terms_df(queries), term_df, stats.n_docs)
+    scored = postings.join(F.broadcast(weighted), "term").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("w")
+            * bm25_tf_norm(F.col("tf"), F.col("dl"), stats.avgdl)
+        ).alias("contrib"),
+    )
+    out = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+    if persisted is not None:
+        out._ojs_persisted = persisted
+    return out
 
 
 def prefix_scores(
@@ -314,13 +323,15 @@ def prefix_scores(
     queries: DataFrame,
     stats: CorpusStats | None = None,
     max_expansions: int = MAX_EXPANSIONS,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score) under the prefix-expansion contract."""
 
     def expand(qt, td, n):
         return prefix_expand(qt, td, n, max_expansions=max_expansions)
 
-    return _expanded_scores(corpus, queries, expand, stats)
+    return _expanded_scores(corpus, queries, expand, stats, postings, term_df)
 
 
 def fuzzy_scores(
@@ -329,10 +340,12 @@ def fuzzy_scores(
     max_edits: int = MAX_EDITS,
     stats: CorpusStats | None = None,
     max_expansions: int = MAX_EXPANSIONS,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score) under the fuzzy-expansion contract above."""
 
     def expand(qt, td, n):
         return fuzzy_expand(qt, td, n, max_edits, max_expansions)
 
-    return _expanded_scores(corpus, queries, expand, stats)
+    return _expanded_scores(corpus, queries, expand, stats, postings, term_df)

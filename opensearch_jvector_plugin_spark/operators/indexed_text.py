@@ -376,12 +376,9 @@ def _exact_weights(
     all_terms = sorted({t for c in qtfs.values() for t in c})
     if not all_terms:
         return {qid: {} for qid in qtfs}
-    rows = (
-        _filter_terms(spark, _dict_df(spark, index), all_terms)
-        .select("term", "df")
-        .collect()
-    )
-    global_df = {r["term"]: int(r["df"]) for r in rows}
+    from .query import lookup_term_dfs
+
+    global_df = lookup_term_dfs(spark, index, all_terms)
     return {
         qid: {
             t: float(c) * bm25_idf_py(global_df[t], index.n_docs)

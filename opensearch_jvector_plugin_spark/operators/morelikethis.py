@@ -72,14 +72,19 @@ def more_like_this(
     max_query_terms: int = 25,
     min_term_freq: int = 2,
     min_doc_freq: int = 5,
+    stats=None,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score): BM25 over each seed's selected terms,
-    seed document excluded. seeds: (query_id, seed_doc_id)."""
-    postings = postings_df(corpus).persist()
-    term_df = postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
+    seed document excluded. seeds: (query_id, seed_doc_id). Pass persisted
+    index state (postings/term_df/stats) to serve without rescanning the
+    corpus, exactly like score_all."""
+    from .score import resolve_corpus_state
+
+    stats, postings, term_df, persisted = resolve_corpus_state(
+        corpus, stats, postings, term_df
     )
-    stats = corpus_stats(corpus)
     sel = mlt_select_terms(
         postings,
         term_df,
@@ -114,5 +119,6 @@ def more_like_this(
         & (scored["doc_id"] == excl["_xd"]),
         "left_anti",
     )
-    out._ojs_persisted = postings
+    if persisted is not None:
+        out._ojs_persisted = persisted
     return out

@@ -241,6 +241,7 @@ def sloppy_scores(
     queries: pd.DataFrame,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """N-term sloppy-phrase scoring: queries is a pandas frame with
     columns (query_id, query_text, slop). The phrase behaves as one
@@ -258,15 +259,20 @@ def sloppy_scores(
         toks = tokenize_text(r.query_text)
         if toks:
             qdefs.append((int(r.query_id), toks, int(r.slop)))
-    spark = corpus.sparkSession
+    spark = (corpus if base is None else base).sparkSession
     if not qdefs:
         return spark.createDataFrame(
             [], "query_id INT, doc_id LONG, score DOUBLE"
         )
-    base = corpus.select(
-        F.col(doc_id_col).cast("long").alias("doc_id"),
-        tokenize_col(text_col).alias("toks"),
-    )
+    if base is None:
+        base = corpus.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            tokenize_col(text_col).alias("toks"),
+        )
+    else:
+        # Pre-tokenized corpus (the term-vectors sidecar): both scans read
+        # persisted token arrays instead of re-tokenizing text.
+        base = base.select("doc_id", "toks")
     # Stats scan: N, avgdl, per-distinct-term df (the phrase_scores shape).
     all_terms = sorted({t for _q, ts, _s in qdefs for t in ts})
     aggs = [
@@ -338,6 +344,7 @@ def phrase_scores(
     queries: pd.DataFrame,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Declarative phrase scoring: (query_id, doc_id, score) for every doc
     containing each phrase at least once.
@@ -354,7 +361,7 @@ def phrase_scores(
         (qid, terms, (lambda toks, terms=terms: phrase_freq_col(toks, terms)))
         for qid, terms in qs
     ]
-    return _pseudo_term_scores(corpus, qdefs, doc_id_col, text_col)
+    return _pseudo_term_scores(corpus, qdefs, doc_id_col, text_col, base)
 
 
 def near_scores(
@@ -362,6 +369,7 @@ def near_scores(
     queries: pd.DataFrame,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Proximity (NEAR) scoring: queries is a pandas frame with columns
     (query_id, term1, term2, slop). tf = the ordered within-slop pair
@@ -382,7 +390,7 @@ def near_scores(
                 ),
             )
         )
-    return _pseudo_term_scores(corpus, qdefs, doc_id_col, text_col)
+    return _pseudo_term_scores(corpus, qdefs, doc_id_col, text_col, base)
 
 
 def _pseudo_term_scores(
@@ -390,6 +398,7 @@ def _pseudo_term_scores(
     qdefs: list[tuple[int, list, object]],
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Shared pseudo-term scorer: each query is (qid, weight_specs,
     pf_builder) where pf_builder(toks) -> per-doc frequency Column and the
@@ -399,13 +408,19 @@ def _pseudo_term_scores(
     the expanded last position of match_phrase_prefix as one pseudo-term)."""
     qs = [(qid, specs) for qid, specs, _fn in qdefs]
     if not qs:
-        return corpus.sparkSession.createDataFrame(
+        return (corpus if base is None else base).sparkSession.createDataFrame(
             [], "query_id INT, doc_id LONG, score DOUBLE"
         )
-    base = corpus.select(
-        F.col(doc_id_col).cast("long").alias("doc_id"),
-        tokenize_col(text_col).alias("toks"),
-    )
+    if base is None:
+        base = corpus.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            tokenize_col(text_col).alias("toks"),
+        )
+    else:
+        # Pre-tokenized corpus (term-vectors sidecar): both the stats scan
+        # and the scoring scan read persisted token arrays instead of
+        # re-tokenizing text.
+        base = base.select("doc_id", "toks")
 
     def norm(spec) -> tuple[str, str]:
         return ("term", spec) if isinstance(spec, str) else tuple(spec)
@@ -475,6 +490,7 @@ def match_phrase_prefix_scores(
     queries: pd.DataFrame,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """match_phrase_prefix scoring: the query's last token is a PREFIX of
     the final phrase position (ES match_phrase_prefix / Lucene
@@ -501,7 +517,7 @@ def match_phrase_prefix_scores(
                 ),
             )
         )
-    return _pseudo_term_scores(corpus, qdefs, doc_id_col, text_col)
+    return _pseudo_term_scores(corpus, qdefs, doc_id_col, text_col, base)
 
 
 def _conjunction_docs(
@@ -530,6 +546,7 @@ def search_phrase(
     queries: pd.DataFrame,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    toksed: DataFrame | None = None,
 ) -> DataFrame:
     """Index-served phrase scoring: (query_id, doc_id, score) — rank- and
     score-identical to phrase_scores on the same corpus.
@@ -608,10 +625,14 @@ def search_phrase(
         kernel, "query_id INT, doc_id LONG"
     )
 
-    docs = corpus.select(
-        F.col(doc_id_col).cast("long").alias("doc_id"),
-        tokenize_col(text_col).alias("toks"),
-    )
+    if toksed is None:
+        docs = corpus.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            tokenize_col(text_col).alias("toks"),
+        )
+    else:
+        # Pre-tokenized stored text (term-vectors sidecar).
+        docs = toksed.select("doc_id", "toks")
     # Candidate side is conjunction-sized (<= min-df over each phrase's
     # terms per query) — broadcast it so the corpus-side scan never
     # shuffles (the vector rerank's candidate-join discipline).
@@ -642,27 +663,24 @@ def search_phrase(
     )
 
 
-_DICT_DF_CACHE: dict[tuple[str, tuple[str, ...]], dict[str, int]] = {}
-
-
 def _dict_dfs(
     spark: SparkSession, index: IndexHandle, terms: list[str]
 ) -> dict[str, int]:
-    key = (index.index_dir, tuple(terms))
-    if key not in _DICT_DF_CACHE:
-        rows = (
-            _filter_terms(spark, spark.read.parquet(index.dict_path), terms)
-            .select("term", "df")
-            .collect()
-        )
-        _DICT_DF_CACHE[key] = {r["term"]: int(r["df"]) for r in rows}
-    return _DICT_DF_CACHE[key]
+    # Round 7: routed through the shared cost-switched dict lookup (small
+    # dict -> one driver-side pyarrow load per process, invalidated by
+    # merge rewrites; large dict -> distributed term-pruned scan). Replaces
+    # a per-(index, terms) cache that never invalidated on merge.
+    from .query import lookup_term_dfs
+
+    return lookup_term_dfs(spark, index, terms)
 
 
 def boolean_scores(
     corpus: DataFrame,
     bool_queries: DataFrame,
     stats: CorpusStats | None = None,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full BooleanQuery composition — must / should / must_not clauses
     (Lucene BooleanClause.Occur; the reference's `filter` clause wraps
@@ -684,14 +702,12 @@ def boolean_scores(
     exclusion set applied left_anti — no corpus-keyed shuffle beyond the
     scoring aggregation itself.
     """
-    spark = corpus.sparkSession
-    postings = postings_df(corpus).persist()
+    from .score import resolve_corpus_state
+
+    stats, postings, term_df, persisted = resolve_corpus_state(
+        corpus, stats, postings, term_df
+    )
     try:
-        if stats is None:
-            stats = corpus_stats(corpus)
-        term_df = postings.groupBy("term").agg(
-            F.count("*").cast("long").alias("df")
-        )
         # Scoring terms: must + should occurrences pooled into one qtf table.
         scoring_q = bool_queries.select(
             "query_id",
@@ -755,10 +771,12 @@ def boolean_scores(
             .distinct()
         )
         out = gated.join(excluded, ["query_id", "doc_id"], "left_anti")
-        out._ojs_persisted = postings
+        if persisted is not None:
+            out._ojs_persisted = persisted
         return out
     except Exception:
-        postings.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
         raise
 
 
@@ -778,7 +796,7 @@ def msm_scores(
     msm cut is a broadcast-joined filter on the aggregated (small) rows, so
     the msm variant shuffles exactly the bytes the unfiltered query does.
     """
-    spark = corpus.sparkSession
+    spark = (corpus if corpus is not None else postings).sparkSession
     derived_postings = postings is None
     if postings is None:
         postings = postings_df(corpus)
@@ -825,6 +843,8 @@ def boosting_scores(
     corpus: DataFrame,
     boosting_queries: DataFrame,
     stats: CorpusStats | None = None,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene BoostingQuery (the OpenSearch `boosting` query): the positive
     clause is scored normally; hits that ALSO match the negative clause
@@ -842,13 +862,12 @@ def boosting_scores(
     hit-sized left join. No corpus-keyed shuffle beyond the scoring
     aggregation.
     """
-    postings = postings_df(corpus).persist()
+    from .score import resolve_corpus_state
+
+    stats, postings, term_df, persisted = resolve_corpus_state(
+        corpus, stats, postings, term_df
+    )
     try:
-        if stats is None:
-            stats = corpus_stats(corpus)
-        term_df = postings.groupBy("term").agg(
-            F.count("*").cast("long").alias("df")
-        )
         pos_terms = query_terms_df(
             boosting_queries.select(
                 "query_id", F.col("positive_text").alias("query_text")
@@ -902,8 +921,10 @@ def boosting_scores(
                 .alias("score"),
             )
         )
-        out._ojs_persisted = postings
+        if persisted is not None:
+            out._ojs_persisted = persisted
         return out
     except Exception:
-        postings.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
         raise

@@ -35,6 +35,38 @@ def query_terms_df(queries: DataFrame) -> DataFrame:
     )
 
 
+def resolve_corpus_state(
+    corpus: DataFrame | None,
+    stats: CorpusStats | None = None,
+    postings: DataFrame | None = None,
+    term_df: DataFrame | None = None,
+) -> tuple[CorpusStats, DataFrame, DataFrame, DataFrame | None]:
+    """Shared state resolution for every declarative scorer: returns
+    (stats, postings, term_df, persisted_handle_or_None).
+
+    Pieces not provided are derived from `corpus` exactly as before (the
+    round-7 refactor only centralizes the existing score_all logic): when
+    postings must be derived AND term_df too, the postings subtree is
+    persisted so the df side does not re-scan and re-explode the corpus
+    (visible in .explain as two parquet scans otherwise). Callers that pass
+    persisted index state (the same tables the segment index persists) get
+    a zero-derivation plan — the serving discipline of the reference, which
+    never rescans source data to answer a query."""
+    derived_postings = postings is None
+    if postings is None:
+        postings = postings_df(corpus)
+    if stats is None:
+        stats = corpus_stats(corpus)
+    persisted = None
+    if term_df is None:
+        if derived_postings:
+            postings = persisted = postings.persist()
+        term_df = postings.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+    return stats, postings, term_df, persisted
+
+
 def score_all(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,19 +77,9 @@ def score_all(
     """Exact BM25 score for every (query, matching doc): (query_id, doc_id,
     score). Pre-computed postings/df/stats can be passed to reuse a built
     index's state (they are the same tables the index persists)."""
-    derived_postings = postings is None
-    if postings is None:
-        postings = postings_df(corpus)
-    if stats is None:
-        stats = corpus_stats(corpus)
-    persisted = None
-    if term_df is None:
-        if derived_postings:
-            # df is derived from the SAME postings; without a persist the
-            # plan re-scans and re-explodes the corpus a second time for
-            # the df side (visible in .explain as two parquet scans).
-            postings = persisted = postings.persist()
-        term_df = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats, postings, term_df, persisted = resolve_corpus_state(
+        corpus, stats, postings, term_df
+    )
 
     qterms = query_terms_df(queries)
     # Small side: (query_id, term, qtf) ⨝ (term, df) -> per-(query,term) idf.

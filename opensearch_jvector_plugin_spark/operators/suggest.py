@@ -84,14 +84,20 @@ def term_suggest(
     )
 
 
-def lm_counts(corpus: DataFrame, text_col: str = "text"):
+def lm_counts(corpus: DataFrame, text_col: str = "text",
+              base: DataFrame | None = None):
     """(unigram_df, bigram_df, n_tokens, vocab_size): the corpus language
     model the phrase suggester scores against — unigram counts, adjacent
     within-document bigram counts, and the Laplace denominator constants.
     One tokenizing scan feeds both counts (the bigram projection is a
     higher-order zip of the token array with its own tail — pure Catalyst,
-    no UDF, no self-join)."""
-    toks = corpus.select(tokenize_col(text_col).alias("_t"))
+    no UDF, no self-join). `base`: optional pre-tokenized corpus
+    (doc_id, toks) — the term-vectors sidecar — so the scans read persisted
+    token arrays instead of re-tokenizing text."""
+    if base is None:
+        toks = corpus.select(tokenize_col(text_col).alias("_t"))
+    else:
+        toks = base.select(F.col("toks").alias("_t"))
     uni = (
         toks.select(F.explode("_t").alias("term"))
         .groupBy("term")
@@ -184,6 +190,8 @@ def phrase_suggest(
     alpha: float = 0.5,
     real_word_error_likelihood: float = 0.95,
     text_col: str = "text",
+    term_df: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Phrase suggester — whole-phrase did-you-mean over a corpus bigram
     language model (the OpenSearch `phrase` suggester / Lucene
@@ -236,19 +244,20 @@ def phrase_suggest(
         "query_id INT, pos INT, token STRING",
     )
     # df = docs containing the term (the same dictionary every scorer uses)
-    term_df = (
-        corpus.select(
-            "doc_id", F.explode_outer(tokenize_col(text_col)).alias("term")
+    if term_df is None:
+        term_df = (
+            corpus.select(
+                "doc_id", F.explode_outer(tokenize_col(text_col)).alias("term")
+            )
+            .where(F.col("term").isNotNull())
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
         )
-        .where(F.col("term").isNotNull())
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
-    )
     cand = _position_candidates(
         term_df, qtok, num_candidates, max_edits, prefix_length
     ).persist()
-    uni, bi, n_tokens, vocab = lm_counts(corpus, text_col)
+    uni, bi, n_tokens, vocab = lm_counts(corpus, text_col, base=base)
     # Prune the LM tables to candidate terms before anything touches combos.
     cand_terms = cand.select(F.col("cand").alias("term")).distinct()
     uni_p = uni.join(F.broadcast(cand_terms), "term").collect()

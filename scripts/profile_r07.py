@@ -73,7 +73,7 @@ def main() -> None:
         from opensearch_jvector_plugin_spark.sources.transcripts import (
             reference_queries,
         )
-        idx = load_index(eq._TRANSCRIPT_IDX[f"{sf_dir}:transcripts"])
+        idx = load_index(eq._transcript_state(spark).idx_dir)
         qpdf = reference_queries(1500)
         t("search() on transcript idx", lambda: search(spark, idx, qpdf,
                                                        tie_epsilon=1e-6).count())
