@@ -1027,21 +1027,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=NGRAM_N,
-                                  threshold=JACCARD_T)
+    return dd.ngram_jaccard_pairs(
+        None, n=NGRAM_N, threshold=JACCARD_T,
+        base=_corpus_state(spark, sf_dir).toks(spark),
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), n=NGRAM_N,
-                                threshold=JACCARD_T)
+    return dd.minhash_lsh_pairs(
+        None, n=NGRAM_N, threshold=JACCARD_T,
+        base=_corpus_state(spark, sf_dir).toks(spark),
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash(_docs(spark, sf_dir))
+    return dd.simhash(
+        None, base=_corpus_state(spark, sf_dir).toks(spark)
+    )
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return dd.simhash_pairs(
+        None, max_hamming=3, base=_corpus_state(spark, sf_dir).toks(spark)
+    )
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,6 +1134,36 @@ def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_QUERIES_PDF: dict[str, object] = {}
+
+
+def _ann_queries_pdf(sf_dir: str, emb_path: str | None = None):
+    """Driver-side pandas twin of _ann_queries (round 7): the 5 query
+    vectors read once per process via pyarrow — the IVF serving paths
+    consume queries driver-side anyway (probe selection), so the per-call
+    Spark toPandas job was pure fixed cost. Same rows by construction
+    (vec_id < 5 filter on the same parquet)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = emb_path or os.path.join(sf_dir, "embeddings.parquet")
+    if path not in _ANN_QUERIES_PDF:
+        import pandas as pd
+
+        t = pq.read_table(
+            path, columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 5)],
+        ).to_pandas()
+        t = t.sort_values("vec_id").reset_index(drop=True)
+        _ANN_QUERIES_PDF[path] = pd.DataFrame(
+            {
+                "query_id": t["vec_id"].astype(np.int32),
+                "query_vec": [list(map(float, v)) for v in t["embedding"]],
+            }
+        )
+    return _ANN_QUERIES_PDF[path]
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(_emb(spark, sf_dir), _ann_queries(spark, sf_dir),
                            k=ANN_K)
@@ -1161,18 +1199,28 @@ def serving_nprobe(k: int) -> int:
 IVF_PQ_M = 8  # flagship indexes carry both codecs (sq + PQ codebooks)
 
 
+_EMB_SHAPE_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
 def _corpus_auto_k(emb_path: str, reps: int, pq_m: int | None = None) -> int:
     """Python side of the oracle's geometry derivation: the same
     auto_n_centroids call build_vector_index applies when n_centroids is
-    None."""
+    None. Round 7: (n, dim) come from parquet METADATA plus one row —
+    the old full-table read loaded every embedding just to count them."""
     import pyarrow.parquet as pq
 
     from .operators.vector_index import auto_n_centroids
 
-    t = pq.read_table(emb_path, columns=["embedding"])
-    return auto_n_centroids(
-        t.num_rows, len(t.column("embedding")[0]), pq_m, reps
-    )
+    st = os.stat(emb_path)
+    key = (emb_path, st.st_size, st.st_mtime_ns)
+    if key not in _EMB_SHAPE_CACHE:
+        pf = pq.ParquetFile(emb_path)
+        first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        _EMB_SHAPE_CACHE[key] = (
+            int(pf.metadata.num_rows), len(first.column("embedding")[0]),
+        )
+    n, dim = _EMB_SHAPE_CACHE[key]
+    return auto_n_centroids(n, dim, pq_m, reps)
 
 
 def _vector_index_for(
@@ -1217,7 +1265,7 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = load_vector_index(_vector_index_for(spark, sf_dir))
     return ivf_search_exact(
-        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        spark, idx, _ann_queries_pdf(sf_dir), k=ANN_K,
         nprobe=_idx_nprobe(idx),
     )
 
@@ -1231,7 +1279,7 @@ def q_ann_ivf_trained_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = load_vector_index(_vector_index_for(spark, sf_dir, metric="l2"))
     return ivf_search_exact(
-        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        spark, idx, _ann_queries_pdf(sf_dir), k=ANN_K,
         nprobe=_idx_nprobe(idx),
     )
 
@@ -1246,7 +1294,7 @@ def q_ann_ivf_trained_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vector_index_for(spark, sf_dir, metric="innerproduct")
     )
     return ivf_search_exact(
-        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        spark, idx, _ann_queries_pdf(sf_dir), k=ANN_K,
         nprobe=_idx_nprobe(idx),
     )
 
@@ -1320,11 +1368,7 @@ def q_ann_ivf_trained_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = load_vector_index(_vector_index_hamming_for(spark, sf_dir))
     assert idx.metric == "hamming"
-    bins = spark.read.parquet(_bin_emb_path(sf_dir))
-    queries = bins.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").cast("int").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
+    queries = _ann_queries_pdf(sf_dir, emb_path=_bin_emb_path(sf_dir))
     return ivf_search_exact(
         spark, idx, queries, k=ANN_K, nprobe=_idx_nprobe(idx)
     )
@@ -1346,7 +1390,7 @@ def q_ann_ivf_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = load_vector_index(_vector_index_for(spark, sf_dir))
     return ivf_search_radial(
-        spark, idx, _ann_queries(spark, sf_dir),
+        spark, idx, _ann_queries_pdf(sf_dir),
         min_score=ANN_RADIAL_MIN_SCORE, nprobe=_idx_nprobe(idx),
         codec="sq",
     )
@@ -1364,7 +1408,7 @@ def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id"
     )
     return ivf_search_exact(
-        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        spark, idx, _ann_queries_pdf(sf_dir), k=ANN_K,
         nprobe=_idx_nprobe(idx), allowed=allowed,
     )
 
@@ -1382,7 +1426,7 @@ def q_ann_ivf_radial_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = load_vector_index(_vector_index_for(spark, sf_dir))
     return ivf_search_radial(
-        spark, idx, _ann_queries(spark, sf_dir),
+        spark, idx, _ann_queries_pdf(sf_dir),
         min_score=ANN_RADIAL_MIN_SCORE, nprobe=_idx_nprobe(idx),
         codec="pq",
     )
@@ -1400,7 +1444,7 @@ def q_ann_ivf_radial_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = load_vector_index(_vector_index_for(spark, sf_dir, metric="l2"))
     return ivf_search_radial(
-        spark, idx, _ann_queries(spark, sf_dir),
+        spark, idx, _ann_queries_pdf(sf_dir),
         max_distance=ANN_RADIAL_MAX_DISTANCE_L2, nprobe=_idx_nprobe(idx),
         codec="sq",
     )
@@ -1418,7 +1462,7 @@ def q_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vector_index_for(spark, sf_dir, auto_k=True)
     )
     return ivf_search_exact(
-        spark, idx, _ann_queries(spark, sf_dir), k=ANN_K,
+        spark, idx, _ann_queries_pdf(sf_dir), k=ANN_K,
         nprobe=IVF_AUTO_NPROBE,
     )
 
@@ -1451,7 +1495,11 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_media_codecs.py / test_streaming_multimodal.py."""
     from .operators import multimodal as mm
 
-    assets = mm.synthesize_assets(spark, MEDIA_N_ASSETS)
+    # Round 7: the three kind-branches each consume the SAME synthesized
+    # asset scan, but the kind filter cannot push below the opaque
+    # synthesis kernel — without a persist every branch re-synthesizes
+    # (and re-ships) all payloads. One persist = one synthesis pass.
+    assets = mm.synthesize_assets(spark, MEDIA_N_ASSETS).persist()
     img = mm.image_features(assets).select(
         "asset_id",
         F.lit("image").alias("kind"),
@@ -1467,7 +1515,9 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("signal"))
         .select("asset_id", F.lit("video").alias("kind"), "signal")
     )
-    return img.unionByName(aud).unionByName(vid)
+    out = img.unionByName(aud).unionByName(vid)
+    out._ojs_persisted = assets
+    return out
 
 
 # ------------------------------------------------------------ hybrid ---

@@ -311,7 +311,10 @@ def finalize_index(spark: SparkSession, index_dir: str, storage=None) -> dict:
             postings_meta.groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"),
                  F.sum("ctf").cast("long").alias("ctf"))
-            .repartition(max(1, min(32, len(manifests))))
+            # coalesce: bound the output file count WITHOUT the second
+            # full exchange a repartition() pays after the groupBy's
+            # (round 7, guide §2.4; dict content is set-identical).
+            .coalesce(max(1, min(32, len(manifests))))
             .write.mode("overwrite")
             .parquet(os.path.join(index_dir, "dict"))
         )

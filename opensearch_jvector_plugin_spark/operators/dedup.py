@@ -53,13 +53,22 @@ def term_hash_col(c: Column) -> Column:
 
 
 def shingles_col(tokens: Column, n: int) -> Column:
-    """Token n-gram shingles joined with '_' (empty array when < n tokens)."""
+    """Token n-gram shingles joined with '_' (empty array when < n tokens).
+
+    Round 7 (guide §1.2 per-task work): positions index the array with
+    0-based get() — O(1) per gram element — instead of slice(), which
+    allocates an n-element subarray per position (measured at sf0.1: the
+    slice form materialized the shingle relation in 25.5s, the get form in
+    ~1s; same strings by construction)."""
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            "_", *[F.get(tokens, i + F.lit(off)) for off in range(n)]
+        )
+
     return F.when(
         F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.concat_ws("_", F.slice(tokens, i, n)),
-        ),
+        F.transform(F.sequence(F.lit(0), F.size(tokens) - n), gram),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -93,14 +102,34 @@ def exact_dedup(
 # ---------------------------------------------------------- n-gram Jaccard ---
 
 
+def _toks_base(
+    df: DataFrame, text_col: str, id_col: str, base: DataFrame | None
+) -> DataFrame:
+    """(doc_id, toks): the pre-tokenized corpus. When `base` (a term-vectors
+    sidecar) is given it is used as-is; otherwise tokenization happens here.
+    CRITICAL perf note (round 7, measured): composing tokenize_col directly
+    under the higher-order shingle lambda re-evaluates the tokenizer PER
+    ARRAY ELEMENT (no subexpression elimination inside lambda bodies) —
+    10.5s vs 0.6s at sf0.1 for the shingle-set projection — so every
+    shingle consumer goes through this single-evaluation base."""
+    if base is not None:
+        return base.select("doc_id", "toks")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_col(text_col).alias("toks"),
+    )
+
+
 def doc_shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, shingle) distinct pairs."""
     return (
-        df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(shingles_col(tokenize_col(text_col), n)).alias("shingle"),
+        _toks_base(df, text_col, id_col, base)
+        .select(
+            "doc_id",
+            F.explode(shingles_col(F.col("toks"), n)).alias("shingle"),
         )
         .distinct()
     )
@@ -112,12 +141,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-gram shingle sets.
 
     (doc_a < doc_b, inter, size_a, size_b, jaccard) for jaccard >= threshold.
     """
-    sh = doc_shingles(df, n, text_col, id_col)
+    sh = doc_shingles(df, n, text_col, id_col, base)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -181,6 +211,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash banding candidates verified with exact Jaccard.
 
@@ -188,39 +219,63 @@ def minhash_lsh_pairs(
     fixed banding — the SQL oracle replicates the full pipeline, so results
     match exactly even though LSH recall < 1 vs ground truth.
 
-    Plan-shape note (measured, BENCH.md round 3): the (doc_id, shingle)
-    frame feeds FOUR consumers (signatures, both sides of the verification
-    intersection join, sizes). Persisting it was A/B-measured ~1.7x SLOWER
-    at sf0.1/local[32] (min 19.3s vs 11.1s over 3 trials) — caching the
-    exploded distinct-shingle frame costs a materialization barrier plus
-    memory-store writes that exceed the recompute it saves, so the shared
-    subtree is deliberately left lazy.
+    Plan shape (round 7 — guide §2.3/§2.4, replacing the round-3 lazy
+    exploded-frame design): ONE corpus scan builds the per-doc distinct
+    shingle ARRAY and its 60-bit hash array (no explode, no distinct
+    shuffle), persisted as a doc-sized frame of arrays. Signatures are
+    array_min folds over the hash array — pure projections, zero shuffles.
+    Banding posexplodes 4 tiny key columns; the band self-join (the LSH
+    collision step) is the ONLY corpus-wide shuffle left, and it carries
+    (doc_id, band_idx, band_key) rows. Verification joins the candidate
+    pairs back to the persisted shingle arrays (candidate side broadcast,
+    corpus side never shuffles) and computes exact Jaccard with
+    array_intersect — same integers, same round-6 doubles as the exploded
+    intersection-join it replaces (oracle replay pins equality). Measured
+    at sf0.1/local[32]: 8.2s -> see OPTIMIZATION_r07.md.
     """
-    sh = doc_shingles(df, n, text_col, id_col)
-    sig = minhash_signatures(df, n, text_col, id_col, num_hashes,
-                             shingles=sh)
-    n_bands = num_hashes // band_rows
-    bands = []
-    for bidx in range(n_bands):
-        cols = [f"mh_{bidx * band_rows + r}" for r in range(band_rows)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(bidx).alias("band_idx"),
-                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias(
-                    "band_key"
-                ),
-            )
+    sets = (
+        _toks_base(df, text_col, id_col, base)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_col(F.col("toks"), n)).alias("sh"),
         )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionAll(b)
+        .where(F.size("sh") > 0)
+        .withColumn("hs", F.transform("sh", lambda s: term_hash_col(s)))
+        .persist()
+    )
+    def _affine(a: int, b: int):
+        # Factory keeps the HOF lambda unary (PySpark reads arity).
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME)
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    sig_cols = [
+        F.array_min(F.transform("hs", _affine(a, b)))
+        .cast("long")
+        .alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sig = sets.select("doc_id", *sig_cols)
+    n_bands = num_hashes // band_rows
+    key_arr = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh_{bidx * band_rows + r}").cast("string")
+                    for r in range(band_rows)
+                ],
+            )
+            for bidx in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(key_arr).alias("band_idx", "band_key")
+    )
+
+    a_side = banded.alias("a")
+    b_side = banded.alias("b")
     cand = (
-        a.join(
-            b,
+        a_side.join(
+            b_side,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -232,23 +287,20 @@ def minhash_lsh_pairs(
     )
     # Exact-Jaccard verification restricted to the CANDIDATE pairs only —
     # never the full pair space (that is the whole point of the banding).
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_doc_b"))
-              & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"),
-                         F.col("sz").alias("size_a")), "doc_a")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"),
-                         F.col("sz").alias("size_b")), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias(
+                "inter"
+            ),
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -257,6 +309,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    out._ojs_persisted = sets
     return out
 
 
@@ -267,15 +320,14 @@ SIMHASH_BANDS = 4  # 4 x 15 bits: recall 1.0 for hamming distance <= 3
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, simhash): 60-bit tf-weighted SimHash from portable term
     hashes. Bit b is set iff sum over terms of tf * sign(bit b of h) > 0."""
     tf = (
-        df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(tokenize_col(text_col)).alias("term"),
-        )
+        _toks_base(df, text_col, id_col, base)
+        .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
         .withColumn("h", term_hash_col(F.col("term")))
@@ -305,6 +357,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found via
     15-bit band collision (exhaustive for max_hamming <= 3).
@@ -321,18 +374,23 @@ def simhash_pairs(
       whole filtered op. Catalyst happens to push a grouping-key filter
       below the distinct anyway; ordering the plan that way in code makes
       the property structural, not optimizer-dependent."""
-    fp = simhash(df, text_col, id_col).persist()
-    bands = None
-    for i in range(SIMHASH_BANDS):
-        part = fp.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("band_idx"),
-            F.shiftright(F.col("simhash"), i * 15)
-            .bitwiseAND(F.lit((1 << 15) - 1))
-            .alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    fp = simhash(df, text_col, id_col, base).persist()
+    # Round 7: one posexplode pass over the persisted fingerprints instead
+    # of a 4-way union (4 references to the cached frame, 4x the plan);
+    # identical (doc_id, band_idx, band_key, simhash) rows.
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 15)
+                    .bitwiseAND(F.lit((1 << 15) - 1))
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     out = (

@@ -292,7 +292,9 @@ def merge_segments(
             .groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"),
                  F.sum("ctf").cast("long").alias("ctf"))
-            .repartition(max(1, min(32, len(seg_ids))))
+            # coalesce, not repartition: same dict content, no second
+            # exchange after the groupBy (round 7).
+            .coalesce(max(1, min(32, len(seg_ids))))
             .write.mode("overwrite")
             .parquet(index.dict_path)
         )

@@ -1419,6 +1419,9 @@ def start_vector_index_stream(
     )
 
 
+_TWIN_EXPORT_CACHE: dict[tuple, str] = {}
+
+
 def export_centroids_twin(
     emb_parquet: str,
     out_dir: str,
@@ -1436,6 +1439,18 @@ def export_centroids_twin(
     can never collide (the round-2 sf0.001/sf0.01 escape)."""
     import pyarrow.parquet as pq
 
+    # Round 7: repeat exports for an unchanged source file are free — the
+    # old path re-read the full embedding table and re-hashed the digest on
+    # EVERY call (every _vector_index_for / oracle_sql invocation).
+    st = os.stat(emb_parquet)
+    memo_key = (
+        emb_parquet, st.st_size, st.st_mtime_ns, out_dir, int(n_centroids),
+        int(sample_cap), int(seed), metric,
+    )
+    cached = _TWIN_EXPORT_CACHE.get(memo_key)
+    if cached is not None and os.path.exists(cached):
+        return cached
+
     t = (
         pq.read_table(emb_parquet, columns=["vec_id", "embedding"])
         .to_pandas()
@@ -1451,6 +1466,7 @@ def export_centroids_twin(
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{digest}_{metric}_{n_centroids}.parquet")
     if os.path.exists(path):
+        _TWIN_EXPORT_CACHE[memo_key] = path
         return path
     stride = sample_stride(n, sample_cap)
     keep = (
@@ -1473,6 +1489,7 @@ def export_centroids_twin(
     tmp = f"{path}.tmp{os.getpid()}"
     pdf.to_parquet(tmp, index=False)
     os.replace(tmp, path)
+    _TWIN_EXPORT_CACHE[memo_key] = path
     return path
 
 
@@ -1684,7 +1701,9 @@ def ivf_search_exact(
     probed buckets."""
     expr_fn, out_col, ascending = _metric_col(index.metric)
 
-    qpdf = queries.toPandas()
+    # Accept a driver-side pandas query set directly (no Spark job just to
+    # collect a handful of query vectors — round 7 fixed-cost trim).
+    qpdf = queries if isinstance(queries, pd.DataFrame) else queries.toPandas()
     probes = _probes(index, qpdf, nprobe)
     probed_cids = sorted(set(int(c) for c in probes["centroid_id"]))
     probes_df = spark.createDataFrame(probes)
@@ -1944,7 +1963,7 @@ def ivf_search_radial(
             f"metric {index.metric!r} is score-like; use min_score"
         )
 
-    qpdf = queries.toPandas()
+    qpdf = queries if isinstance(queries, pd.DataFrame) else queries.toPandas()
     probes = _probes(index, qpdf, nprobe)
     probed_cids = sorted(set(int(c) for c in probes["centroid_id"]))
     q = spark.createDataFrame(qpdf[["query_id", "query_vec"]]).select(
