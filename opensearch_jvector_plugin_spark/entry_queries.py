@@ -102,9 +102,18 @@ class _CorpusState:
         self.dir = dir_
         self.stats = stats
 
-    def toks(self, spark: SparkSession) -> DataFrame:
-        """(doc_id LONG, toks ARRAY<STRING>, dl INT) — pre-tokenized corpus."""
-        return spark.read.parquet(os.path.join(self.dir, "toks"))
+    def toks(self, spark: SparkSession, parallel: bool = False) -> DataFrame:
+        """(doc_id LONG, toks ARRAY<STRING>, dl INT) — pre-tokenized corpus.
+
+        parallel=True spreads the sidecar across the default parallelism —
+        the scratch file is small enough that maxPartitionBytes packs it
+        into one split, which would serialize the positional projections
+        (O(L * window) per row) onto a single core; the repartition is a
+        tiny shuffle of doc-count-bounded rows that buys a 32-way scan."""
+        df = spark.read.parquet(os.path.join(self.dir, "toks"))
+        if parallel:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+        return df
 
     def postings(self, spark: SparkSession) -> DataFrame:
         """(doc_id, dl, term, tf) — the postings_df(corpus) relation."""
@@ -261,7 +270,7 @@ def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescored = query_rescore(
         score_all(None, primary_qdf, stats=st.stats,
                   postings=st.postings(spark), term_df=st.term_df(spark)),
-        phrase_scores(None, phrase_pdf, base=st.toks(spark)),
+        phrase_scores(None, phrase_pdf, base=st.toks(spark, parallel=True)),
         RESCORE_WINDOW,
         query_weight=RESCORE_QUERY_WEIGHT,
         rescore_query_weight=RESCORE_RESCORE_WEIGHT,
@@ -528,7 +537,7 @@ def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_norm at exact dl)."""
     scored = phrase_scores(
         None, _phrase_queries_pdf(),
-        base=_corpus_state(spark, sf_dir).toks(spark),
+        base=_corpus_state(spark, sf_dir).toks(spark, parallel=True),
     )
     return _rank_rounded(scored, _phrase_ks(spark))
 
@@ -567,7 +576,7 @@ def q_bm25_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qpdf = pd.DataFrame(MPP_QUERIES, columns=["query_id", "query_text", "k"])
     scored = match_phrase_prefix_scores(
-        None, qpdf, base=_corpus_state(spark, sf_dir).toks(spark)
+        None, qpdf, base=_corpus_state(spark, sf_dir).toks(spark, parallel=True)
     )
     ks = spark.createDataFrame(
         [(q, k) for q, _t, k in MPP_QUERIES], "query_id INT, _k LONG"
@@ -598,7 +607,7 @@ def q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         NEAR_QUERIES, columns=["query_id", "term1", "term2", "slop", "k"]
     )
     scored = near_scores(
-        None, qpdf, base=_corpus_state(spark, sf_dir).toks(spark)
+        None, qpdf, base=_corpus_state(spark, sf_dir).toks(spark, parallel=True)
     )
     ks = spark.createDataFrame(
         [(q, k) for q, _a, _b, _s, k in NEAR_QUERIES],
@@ -632,7 +641,7 @@ def q_bm25_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["query_id", "query_text", "slop"],
     )
     scored = sloppy_scores(
-        None, qpdf, base=_corpus_state(spark, sf_dir).toks(spark)
+        None, qpdf, base=_corpus_state(spark, sf_dir).toks(spark, parallel=True)
     )
     ks = spark.createDataFrame(
         [(q, k) for q, _t, _s, k in SLOPPY_QUERIES], "query_id INT, _k LONG"

@@ -302,13 +302,27 @@ def sloppy_scores(
     )
     # Scoring scan: materialize each query's infos array once per row,
     # then fold — the array column is evaluated a single time per row.
+    # Round 7: a conjunctive array_contains gate skips the O(L * window)
+    # anchor materialization for docs missing any phrase term (a doc
+    # without every distinct term has no minimal cover) — the declarative
+    # twin of the indexed intersection-then-verify discipline. A gated-out
+    # doc's infos are NULL; the fold's `size > 0` guard already maps that
+    # to frequency 0.0, exactly what the full scan would produce.
+    def _cand_gate(ts: list[str]) -> Column:
+        cond: Column | None = None
+        for t in sorted(set(ts)):
+            c = F.array_contains("toks", t)
+            cond = c if cond is None else cond & c
+        return cond
+
     scan = base.select(
         "doc_id",
         F.size("toks").cast("long").alias("dl"),
         *[
-            sloppy_anchor_infos_col(F.col("toks"), ts, slop).alias(
-                f"_info_{qid}"
-            )
+            F.when(
+                _cand_gate(ts),
+                sloppy_anchor_infos_col(F.col("toks"), ts, slop),
+            ).alias(f"_info_{qid}")
             for qid, ts, slop in qdefs
         ],
     )
@@ -458,12 +472,33 @@ def _pseudo_term_scores(
         F.col("s.w").alias("w"),
         F.col("_avgdl_").alias("avgdl"),
     )
+    def _gate(specs) -> Column | None:
+        # Conjunctive candidate gate (round 7): a doc missing ANY plain
+        # term of the phrase cannot match, so the expensive positional
+        # projection is skipped for it — the declarative twin of the
+        # indexed path's posting-intersection-then-verify discipline.
+        # Prefix pseudo-terms are left to the projection itself (their
+        # membership probe costs the same as the frequency scan).
+        cond: Column | None = None
+        for s in specs:
+            kind, val = norm(s)
+            if kind != "term":
+                continue
+            c = F.array_contains("toks", val)
+            cond = c if cond is None else cond & c
+        return cond
+
+    def _pf(specs, pf_builder) -> Column:
+        pf = pf_builder(F.col("toks"))
+        g = _gate(specs)
+        return pf if g is None else F.when(g, pf).otherwise(F.lit(0))
+
     pf_structs = [
         F.struct(
             F.lit(qid).alias("query_id"),
-            pf_builder(F.col("toks")).alias("pf"),
+            _pf(specs, pf_builder).alias("pf"),
         )
-        for qid, _terms, pf_builder in qdefs
+        for qid, specs, pf_builder in qdefs
     ]
     perdoc = (
         base.select(
