@@ -26,6 +26,30 @@ from ..plans.stats import corpus_stats, postings_df
 from .score import query_terms_df
 
 
+def compile_explain_weights(
+    queries_pdf, term_dfs: dict, n_docs: int
+) -> list[tuple[int, str, float, int, float]]:
+    """Driver-side twin of explain's weighted subtree: rows
+    (query_id, term, qtf, df, idf), absent terms dropped (the inner
+    join's semantics) — same arithmetic as the Column path."""
+    from collections import Counter
+
+    from ..functions.bm25 import bm25_idf_py
+    from ..functions.tokenizer import tokenize_text
+
+    rows = []
+    for r in queries_pdf.itertuples(index=False):
+        qid = int(r.query_id)
+        for term, qtf in sorted(Counter(tokenize_text(r.query_text)).items()):
+            df = term_dfs.get(term)
+            if df is not None:
+                rows.append(
+                    (qid, term, float(qtf), int(df),
+                     bm25_idf_py(int(df), n_docs))
+                )
+    return rows
+
+
 def explain_hits(
     corpus: DataFrame,
     queries: DataFrame,
@@ -33,22 +57,35 @@ def explain_hits(
     stats=None,
     postings: DataFrame | None = None,
     term_df: DataFrame | None = None,
+    weighted: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, term, tf, dl, df, idf, contrib) for every query
     term matched in every hit. `hits` is a tiny (query_id, doc_id) set —
     typically a top-k result page. Pass persisted index state
-    (postings/term_df/stats) to serve without rescanning the corpus."""
+    (postings/term_df/stats) to serve without rescanning the corpus;
+    `weighted` is an optional precompiled (query_id, term, qtf, df, idf)
+    frame from compile_explain_weights."""
     from .score import resolve_corpus_state
 
-    stats, postings, term_df, persisted = resolve_corpus_state(
-        corpus, stats, postings, term_df
-    )
-    weighted = (
-        query_terms_df(queries)
-        .join(term_df, "term")
-        .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
-        .select("query_id", "term", "qtf", "df", "idf")
-    )
+    if weighted is not None:
+        from ..plans.stats import corpus_stats as _cs
+        from ..plans.stats import postings_df as _pdf
+
+        if postings is None:
+            postings = _pdf(corpus)
+        if stats is None:
+            stats = _cs(corpus)
+        persisted = None
+    else:
+        stats, postings, term_df, persisted = resolve_corpus_state(
+            corpus, stats, postings, term_df
+        )
+        weighted = (
+            query_terms_df(queries)
+            .join(term_df, "term")
+            .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
+            .select("query_id", "term", "qtf", "df", "idf")
+        )
     h = hits.select("query_id", "doc_id")
     out = (
         postings.join(F.broadcast(weighted), "term")

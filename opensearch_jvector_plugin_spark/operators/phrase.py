@@ -710,12 +710,50 @@ def _dict_dfs(
     return lookup_term_dfs(spark, index, terms)
 
 
+def compile_boolean_clauses(
+    bool_pdf, term_dfs: dict, n_docs: int
+) -> dict:
+    """Driver-side compile of the boolean clause tables (the
+    _query_weights discipline, round 7): weighted = qtf*idf over the
+    pooled must+should occurrences (absent terms dropped — the inner
+    join's semantics), must = distinct must tokens (OOV terms INCLUDED so
+    an OOV must term still empties the query via the n_must gate),
+    must_not = distinct must_not tokens. bool_pdf columns:
+    (query_id, must_text, should_text, must_not_text)."""
+    from collections import Counter
+
+    from ..functions.bm25 import bm25_idf_py
+
+    weighted, must, n_must, must_not = [], [], [], []
+    for r in bool_pdf.itertuples(index=False):
+        qid = int(r.query_id)
+        pooled = f"{r.must_text or ''} {r.should_text or ''}"
+        for term, qtf in sorted(Counter(tokenize_text(pooled)).items()):
+            df = term_dfs.get(term)
+            if df is not None:
+                weighted.append(
+                    (qid, term, float(qtf) * bm25_idf_py(int(df), n_docs))
+                )
+        mt = sorted(set(tokenize_text(r.must_text or "")))
+        for t in mt:
+            must.append((qid, t))
+        if mt:
+            n_must.append((qid, len(mt)))
+        for t in sorted(set(tokenize_text(r.must_not_text or ""))):
+            must_not.append((qid, t))
+    return {
+        "weighted": weighted, "must": must, "n_must": n_must,
+        "must_not": must_not,
+    }
+
+
 def boolean_scores(
     corpus: DataFrame,
     bool_queries: DataFrame,
     stats: CorpusStats | None = None,
     postings: DataFrame | None = None,
     term_df: DataFrame | None = None,
+    compiled: dict | None = None,
 ) -> DataFrame:
     """Full BooleanQuery composition — must / should / must_not clauses
     (Lucene BooleanClause.Occur; the reference's `filter` clause wraps
@@ -739,36 +777,62 @@ def boolean_scores(
     """
     from .score import resolve_corpus_state
 
-    stats, postings, term_df, persisted = resolve_corpus_state(
-        corpus, stats, postings, term_df
-    )
+    if compiled is not None:
+        # Driver-compiled clause tables (compile_boolean_clauses): no
+        # explode/groupBy/join subtrees, just literal broadcasts.
+        if postings is None:
+            postings = postings_df(corpus)
+        if stats is None:
+            stats = corpus_stats(corpus)
+        persisted = None
+        spark = postings.sparkSession
+        weighted = spark.createDataFrame(
+            compiled["weighted"], "query_id INT, term STRING, w DOUBLE"
+        )
+        n_must = spark.createDataFrame(
+            compiled["n_must"], "query_id INT, _n_must LONG"
+        )
+        must_flag = spark.createDataFrame(
+            compiled["must"], "query_id INT, term STRING"
+        ).withColumn("_is_must", F.lit(1).cast("long"))
+        must_not_lit = spark.createDataFrame(
+            compiled["must_not"], "query_id INT, term STRING"
+        )
+    else:
+        stats, postings, term_df, persisted = resolve_corpus_state(
+            corpus, stats, postings, term_df
+        )
+        must_not_lit = None
     try:
-        # Scoring terms: must + should occurrences pooled into one qtf table.
-        scoring_q = bool_queries.select(
-            "query_id",
-            F.concat_ws(
-                " ",
-                F.coalesce("must_text", F.lit("")),
-                F.coalesce("should_text", F.lit("")),
-            ).alias("query_text"),
-        )
-        qterms = query_terms_df(scoring_q)
-        weighted = (
-            qterms.join(term_df, "term")
-            .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
-            .select(
-                "query_id", "term", (F.col("qtf") * F.col("idf")).alias("w")
+        if compiled is None:
+            # Scoring terms: must + should occurrences pooled into one qtf
+            # table.
+            scoring_q = bool_queries.select(
+                "query_id",
+                F.concat_ws(
+                    " ",
+                    F.coalesce("must_text", F.lit("")),
+                    F.coalesce("should_text", F.lit("")),
+                ).alias("query_text"),
             )
-        )
-        must = query_terms_df(
-            bool_queries.select(
-                "query_id", F.col("must_text").alias("query_text")
+            qterms = query_terms_df(scoring_q)
+            weighted = (
+                qterms.join(term_df, "term")
+                .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
+                .select(
+                    "query_id", "term",
+                    (F.col("qtf") * F.col("idf")).alias("w"),
+                )
             )
-        ).select("query_id", "term")
-        n_must = must.groupBy("query_id").agg(
-            F.count("*").cast("long").alias("_n_must")
-        )
-        must_flag = must.withColumn("_is_must", F.lit(1).cast("long"))
+            must = query_terms_df(
+                bool_queries.select(
+                    "query_id", F.col("must_text").alias("query_text")
+                )
+            ).select("query_id", "term")
+            n_must = must.groupBy("query_id").agg(
+                F.count("*").cast("long").alias("_n_must")
+            )
+            must_flag = must.withColumn("_is_must", F.lit(1).cast("long"))
         scored = (
             postings.join(F.broadcast(weighted), "term")
             .join(F.broadcast(must_flag), ["query_id", "term"], "left")
@@ -795,11 +859,14 @@ def boolean_scores(
             )
             .select("query_id", "doc_id", "score")
         )
-        must_not = query_terms_df(
-            bool_queries.select(
-                "query_id", F.col("must_not_text").alias("query_text")
-            )
-        ).select("query_id", "term")
+        if must_not_lit is not None:
+            must_not = must_not_lit
+        else:
+            must_not = query_terms_df(
+                bool_queries.select(
+                    "query_id", F.col("must_not_text").alias("query_text")
+                )
+            ).select("query_id", "term")
         excluded = (
             postings.join(F.broadcast(must_not), "term")
             .select("query_id", "doc_id")
@@ -822,6 +889,7 @@ def msm_scores(
     stats: CorpusStats | None = None,
     postings: DataFrame | None = None,
     term_df: DataFrame | None = None,
+    weighted: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 scoring with a minimum_should_match cut: (query_id, doc_id,
     score) for docs matching >= msm[query_id] DISTINCT query terms.
@@ -838,18 +906,21 @@ def msm_scores(
     if stats is None:
         stats = corpus_stats(corpus)
     persisted = None
-    if term_df is None:
-        if derived_postings:
-            postings = persisted = postings.persist()
-        term_df = postings.groupBy("term").agg(
-            F.count("*").cast("long").alias("df")
+    if weighted is None:
+        if term_df is None:
+            if derived_postings:
+                postings = persisted = postings.persist()
+            term_df = postings.groupBy("term").agg(
+                F.count("*").cast("long").alias("df")
+            )
+        qterms = query_terms_df(queries)
+        weighted = (
+            qterms.join(term_df, "term")
+            .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
+            .select(
+                "query_id", "term", (F.col("qtf") * F.col("idf")).alias("w")
+            )
         )
-    qterms = query_terms_df(queries)
-    weighted = (
-        qterms.join(term_df, "term")
-        .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
-        .select("query_id", "term", (F.col("qtf") * F.col("idf")).alias("w"))
-    )
     scored = postings.join(F.broadcast(weighted), "term").select(
         "query_id",
         "doc_id",
@@ -874,12 +945,40 @@ def msm_scores(
     return out
 
 
+def compile_boosting_clauses(
+    boosting_pdf, term_dfs: dict, n_docs: int
+) -> dict:
+    """Driver-side compile of the boosting clause tables: weighted =
+    qtf*idf over the positive occurrences (absent terms dropped),
+    neg = distinct negative tokens. boosting_pdf columns:
+    (query_id, positive_text, negative_text)."""
+    from collections import Counter
+
+    from ..functions.bm25 import bm25_idf_py as _idf
+
+    weighted, neg = [], []
+    for r in boosting_pdf.itertuples(index=False):
+        qid = int(r.query_id)
+        for term, qtf in sorted(
+            Counter(tokenize_text(r.positive_text or "")).items()
+        ):
+            df = term_dfs.get(term)
+            if df is not None:
+                weighted.append(
+                    (qid, term, float(qtf) * _idf(int(df), n_docs))
+                )
+        for t in sorted(set(tokenize_text(r.negative_text or ""))):
+            neg.append((qid, t))
+    return {"weighted": weighted, "neg": neg}
+
+
 def boosting_scores(
     corpus: DataFrame,
     boosting_queries: DataFrame,
     stats: CorpusStats | None = None,
     postings: DataFrame | None = None,
     term_df: DataFrame | None = None,
+    compiled: dict | None = None,
 ) -> DataFrame:
     """Lucene BoostingQuery (the OpenSearch `boosting` query): the positive
     clause is scored normally; hits that ALSO match the negative clause
@@ -899,22 +998,39 @@ def boosting_scores(
     """
     from .score import resolve_corpus_state
 
-    stats, postings, term_df, persisted = resolve_corpus_state(
-        corpus, stats, postings, term_df
-    )
+    if compiled is not None:
+        if postings is None:
+            postings = postings_df(corpus)
+        if stats is None:
+            stats = corpus_stats(corpus)
+        persisted = None
+        spark = postings.sparkSession
+        weighted = spark.createDataFrame(
+            compiled["weighted"], "query_id INT, term STRING, w DOUBLE"
+        )
+        neg_lit = spark.createDataFrame(
+            compiled["neg"], "query_id INT, term STRING"
+        )
+    else:
+        stats, postings, term_df, persisted = resolve_corpus_state(
+            corpus, stats, postings, term_df
+        )
+        neg_lit = None
     try:
-        pos_terms = query_terms_df(
-            boosting_queries.select(
-                "query_id", F.col("positive_text").alias("query_text")
+        if compiled is None:
+            pos_terms = query_terms_df(
+                boosting_queries.select(
+                    "query_id", F.col("positive_text").alias("query_text")
+                )
             )
-        )
-        weighted = (
-            pos_terms.join(term_df, "term")
-            .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
-            .select(
-                "query_id", "term", (F.col("qtf") * F.col("idf")).alias("w")
+            weighted = (
+                pos_terms.join(term_df, "term")
+                .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
+                .select(
+                    "query_id", "term",
+                    (F.col("qtf") * F.col("idf")).alias("w"),
+                )
             )
-        )
         scored = (
             postings.join(F.broadcast(weighted), "term")
             .select(
@@ -928,11 +1044,14 @@ def boosting_scores(
             .groupBy("query_id", "doc_id")
             .agg(F.sum("contrib").alias("score"))
         )
-        neg_terms = query_terms_df(
-            boosting_queries.select(
-                "query_id", F.col("negative_text").alias("query_text")
-            )
-        ).select("query_id", "term")
+        if neg_lit is not None:
+            neg_terms = neg_lit
+        else:
+            neg_terms = query_terms_df(
+                boosting_queries.select(
+                    "query_id", F.col("negative_text").alias("query_text")
+                )
+            ).select("query_id", "term")
         neg_matched = (
             postings.join(F.broadcast(neg_terms), "term")
             .select("query_id", "doc_id")

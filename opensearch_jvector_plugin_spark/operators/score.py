@@ -35,6 +35,34 @@ def query_terms_df(queries: DataFrame) -> DataFrame:
     )
 
 
+def compile_query_weights(
+    queries_pdf, term_dfs: dict, n_docs: int
+) -> list[tuple[int, str, float]]:
+    """Driver-side twin of the `weighted` subtree (qterms ⨝ term_df →
+    qtf * idf): rows (query_id, term, w), absent terms dropped — exactly
+    the inner join's semantics, with the same left-assoc idf arithmetic
+    (bm25_idf_py ≡ bm25_idf, the equivalence the indexed search path
+    already relies on). The `_query_weights` compile discipline applied to
+    the declarative scorer: query sets are bounded by contract, so the
+    per-call explode/groupBy/join broadcast subtree is pure fixed cost
+    (round 7)."""
+    from collections import Counter
+
+    from ..functions.bm25 import bm25_idf_py
+    from ..functions.tokenizer import tokenize_text
+
+    rows = []
+    for r in queries_pdf.itertuples(index=False):
+        qid = int(r.query_id)
+        for term, qtf in sorted(Counter(tokenize_text(r.query_text)).items()):
+            df = term_dfs.get(term)
+            if df is not None:
+                rows.append(
+                    (qid, term, float(qtf) * bm25_idf_py(int(df), n_docs))
+                )
+    return rows
+
+
 def resolve_corpus_state(
     corpus: DataFrame | None,
     stats: CorpusStats | None = None,
@@ -73,21 +101,33 @@ def score_all(
     stats: CorpusStats | None = None,
     postings: DataFrame | None = None,
     term_df: DataFrame | None = None,
+    weighted: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 score for every (query, matching doc): (query_id, doc_id,
     score). Pre-computed postings/df/stats can be passed to reuse a built
-    index's state (they are the same tables the index persists)."""
-    stats, postings, term_df, persisted = resolve_corpus_state(
-        corpus, stats, postings, term_df
-    )
-
-    qterms = query_terms_df(queries)
-    # Small side: (query_id, term, qtf) ⨝ (term, df) -> per-(query,term) idf.
-    weighted = (
-        qterms.join(term_df, "term")
-        .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
-        .select("query_id", "term", (F.col("qtf") * F.col("idf")).alias("w"))
-    )
+    index's state (they are the same tables the index persists).
+    `weighted`: optional precompiled (query_id, term, w) frame from
+    compile_query_weights — skips the qterms ⨝ term_df derivation."""
+    persisted = None
+    if weighted is None:
+        stats, postings, term_df, persisted = resolve_corpus_state(
+            corpus, stats, postings, term_df
+        )
+        qterms = query_terms_df(queries)
+        # Small side: (query_id, term, qtf) ⨝ (term, df) -> per-(query,
+        # term) idf.
+        weighted = (
+            qterms.join(term_df, "term")
+            .withColumn("idf", bm25_idf(F.col("df"), float(stats.n_docs)))
+            .select(
+                "query_id", "term", (F.col("qtf") * F.col("idf")).alias("w")
+            )
+        )
+    else:
+        if postings is None:
+            postings = postings_df(corpus)
+        if stats is None:
+            stats = corpus_stats(corpus)
     # Big side joins the broadcast query-term table: Catalyst prunes every
     # posting whose term no query mentions before anything else happens.
     scored = postings.join(F.broadcast(weighted), "term").select(

@@ -46,6 +46,38 @@ def expand_synonyms(qterms: DataFrame, synonyms: DataFrame) -> DataFrame:
     )
 
 
+def compile_synonym_expansion(
+    queries_pdf, synonyms: list[tuple[str, str]], term_dfs, n_docs: int
+):
+    """Driver-side twin of expand_synonyms + the blended-df weighting:
+    rows (query_id, term, member, w) where members = {term} ∪ its synonym
+    group, df_blend = max member df (absent members 0), and
+    w = qtf * idf(df_blend) — float-identical to the Column pipeline
+    (same left-assoc idf arithmetic, bm25_idf_py ≡ bm25_idf). Query sets
+    and synonym tables are bounded by contract, so this is the
+    `_query_weights` compile discipline applied to the synonym rewrite —
+    it removes the per-call distinct/union/join/groupBy broadcast subtree
+    (round 7; measured ~0.8s of a 2.6s call at sf0.1)."""
+    from collections import Counter
+
+    from ..functions.bm25 import bm25_idf_py
+    from ..functions.tokenizer import tokenize_text
+
+    groups: dict[str, set[str]] = {}
+    for t, m in synonyms:
+        groups.setdefault(t, set()).add(m)
+    rows = []
+    for r in queries_pdf.itertuples(index=False):
+        qid = int(r.query_id)
+        for term, qtf in Counter(tokenize_text(r.query_text)).items():
+            members = sorted({term} | groups.get(term, set()))
+            df_blend = max(int(term_dfs.get(m, 0)) for m in members)
+            w = float(qtf) * bm25_idf_py(df_blend, n_docs)
+            for m in members:
+                rows.append((qid, term, m, w))
+    return rows
+
+
 def synonym_scores(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,46 +85,53 @@ def synonym_scores(
     stats: CorpusStats | None = None,
     postings: DataFrame | None = None,
     term_df: DataFrame | None = None,
+    exp_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 with SynonymQuery blending: (query_id, doc_id, score).
 
     `synonyms`: (term STRING, member STRING) non-trivial pairs (directed:
     a query term `term` also matches `member`). Pass persisted index
     state (postings/term_df/stats) to serve without rescanning the corpus,
-    exactly like score_all."""
+    exactly like score_all. `exp_terms`: optional precompiled weighted
+    expansion (query_id, term, member, w) from
+    compile_synonym_expansion — skips the declarative expansion/blending
+    subtree entirely."""
     derived = postings is None
     if postings is None:
         postings = postings_df(corpus)
     if stats is None:
         stats = corpus_stats(corpus)
     persisted = None
-    if term_df is None:
+    if term_df is None and exp_terms is None:
         if derived:
             postings = persisted = postings.persist()
         term_df = postings.groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         )
 
-    expansion = expand_synonyms(query_terms_df(queries), synonyms)
-    # Blended df: max over the group's member dfs (absent members df=0).
-    member_df = term_df.select(F.col("term").alias("member"), "df")
-    blended = (
-        expansion.join(member_df, "member", "left")
-        .groupBy("query_id", "term")
-        .agg(
-            F.max(F.coalesce(F.col("df"), F.lit(0))).alias("df_blend"),
-            F.first("qtf").alias("qtf"),
+    if exp_terms is None:
+        expansion = expand_synonyms(query_terms_df(queries), synonyms)
+        # Blended df: max over the group's member dfs (absent members df=0).
+        member_df = term_df.select(F.col("term").alias("member"), "df")
+        blended = (
+            expansion.join(member_df, "member", "left")
+            .groupBy("query_id", "term")
+            .agg(
+                F.max(F.coalesce(F.col("df"), F.lit(0))).alias("df_blend"),
+                F.first("qtf").alias("qtf"),
+            )
+            .withColumn(
+                "idf", bm25_idf(F.col("df_blend"), float(stats.n_docs))
+            )
+            .select(
+                "query_id", "term", (F.col("qtf") * F.col("idf")).alias("w")
+            )
         )
-        .withColumn("idf", bm25_idf(F.col("df_blend"), float(stats.n_docs)))
-        .select(
-            "query_id", "term", (F.col("qtf") * F.col("idf")).alias("w")
+        # Per-(query, term, doc): sum member tfs (SynonymQuery's single
+        # pseudo-term), THEN one tf_norm — not a per-member sum of norms.
+        exp_terms = expansion.select("query_id", "term", "member").join(
+            F.broadcast(blended), ["query_id", "term"]
         )
-    )
-    # Per-(query, term, doc): sum member tfs (SynonymQuery's single
-    # pseudo-term), THEN one tf_norm — not a per-member sum of norms.
-    exp_terms = expansion.select("query_id", "term", "member").join(
-        F.broadcast(blended), ["query_id", "term"]
-    )
     matches = (
         postings.join(
             F.broadcast(exp_terms),
